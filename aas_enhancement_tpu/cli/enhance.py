@@ -1,0 +1,98 @@
+"""`enhance` entry point: batch-enhance a manifest (or single wav) and write wavs.
+
+Reference parity: the public enhance script (SURVEY.md §2 "Enhance entry point",
+§3.3) — read manifest -> STFT -> enhancer forward -> ISTFT with noisy phase -> write
+enhanced wavs.  TPU-first: utterances are padded to a small set of bucket lengths so
+the fused STFT->G->ISTFT program compiles once per bucket; RTF is reported.
+
+Usage:
+  python -m aas_enhancement_tpu.cli.enhance --input noisy.wav --out-dir out/
+  python -m aas_enhancement_tpu.cli.enhance --manifest noisy_manifest.csv --out-dir out/ \
+      --checkpoint ckpts/   (omit --checkpoint to run a random-init network)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aas_enhancement_tpu.config import Config
+from aas_enhancement_tpu.data.manifest import read_manifest
+from aas_enhancement_tpu.data.wav import read_wav, write_wav
+from aas_enhancement_tpu.enhance import init_enhancer, make_enhance_fn
+
+
+def _bucket_length(n: int, buckets: list[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", help="single noisy wav")
+    p.add_argument("--manifest", help="noisy manifest CSV (wav_path,txt_path)")
+    p.add_argument("--out-dir", required=True)
+    p.add_argument("--checkpoint", help="checkpoint dir (omit for random init)")
+    p.add_argument("--config", help="config JSON (defaults used if omitted)")
+    p.add_argument("--mode", choices=["mask", "mapping"], default=None)
+    args = p.parse_args(argv)
+
+    cfg = Config.from_json(open(args.config).read()) if args.config else Config()
+    if args.mode:
+        cfg = cfg.replace(enhancer=cfg.enhancer.__class__(
+            **{**cfg.enhancer.__dict__, "mode": args.mode}))
+
+    params = init_enhancer(cfg, jax.random.key(cfg.train.seed))
+    if args.checkpoint:
+        from aas_enhancement_tpu.utils.checkpoint import restore_latest
+        restored = restore_latest(args.checkpoint, {"g_params": params})
+        params = restored["g_params"]
+
+    paths = []
+    if args.input:
+        paths.append(args.input)
+    if args.manifest:
+        paths.extend(w for w, _ in read_manifest(args.manifest))
+    if not paths:
+        p.error("need --input or --manifest")
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    fn = make_enhance_fn(cfg)
+
+    sr = cfg.audio.sample_rate
+    buckets = [sr * s for s in (2, 4, 8, 16)]
+    total_audio, total_wall = 0.0, 0.0
+    for path in paths:
+        wav, file_sr = read_wav(path)
+        if file_sr != sr:
+            raise ValueError(f"{path}: sample rate {file_sr} != config {sr}")
+        n = len(wav)
+        padded_n = _bucket_length(n, buckets)
+        x = np.zeros(padded_n, np.float32)
+        x[:n] = wav[:padded_n]
+
+        t0 = time.perf_counter()
+        out = fn(params, jnp.asarray(x)[None], jnp.array([min(n, padded_n)], jnp.int32))
+        out = jax.block_until_ready(out)
+        wall = time.perf_counter() - t0
+
+        enhanced = np.asarray(out[0])[:n]
+        write_wav(os.path.join(args.out_dir, os.path.basename(path)), enhanced, sr)
+        total_audio += n / sr
+        total_wall += wall
+
+    rtf = total_wall / max(total_audio, 1e-9)
+    print(json.dumps({"utterances": len(paths), "audio_seconds": round(total_audio, 3),
+                      "wall_seconds": round(total_wall, 3), "rtf": round(rtf, 5)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,193 @@
+"""Configuration tree for the AAS-enhancement TPU framework.
+
+The reference spreads configuration across per-script argparse flags (SURVEY.md §2
+"Config/flags": audio conf, model conf, train conf).  Here the whole tree is a single
+nested dataclass hierarchy, serializable to/from JSON, with the five driver acceptance
+configs (BASELINE.json:7-11) shipped as named presets.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass(frozen=True)
+class AudioConfig:
+    """STFT / featurization parameters (reference audio_conf, SURVEY.md §2 "STFT featurizer")."""
+
+    sample_rate: int = 16000
+    window_size: float = 0.02    # seconds -> n_fft = 320 -> 161 freq bins
+    window_stride: float = 0.01  # seconds -> hop = 160
+    window: str = "hann"         # "hann" | "hamming"
+    center: bool = True          # reflect-pad n_fft//2 on both sides (librosa-style)
+    normalize: bool = True       # per-utterance mean/std normalization of log-mag
+
+    @property
+    def n_fft(self) -> int:
+        return int(self.sample_rate * self.window_size)
+
+    @property
+    def hop_length(self) -> int:
+        return int(self.sample_rate * self.window_stride)
+
+    @property
+    def num_bins(self) -> int:
+        return self.n_fft // 2 + 1
+
+
+@dataclass(frozen=True)
+class AMConfig:
+    """DeepSpeech2-style acoustic model (SURVEY.md §2 "DeepSpeech2-style acoustic model")."""
+
+    rnn_hidden: int = 512
+    rnn_layers: int = 4
+    rnn_type: str = "gru"        # "gru" | "lstm"
+    conv_channels: int = 32
+    vocab_size: int = 29         # len(labels.LABELS)
+    dtype: str = "float32"       # compute dtype for matmuls ("bfloat16" on TPU)
+
+
+@dataclass(frozen=True)
+class EnhancerConfig:
+    """Conv + BLSTM enhancement network (SURVEY.md §2 "Enhancement network", BASELINE.json:5)."""
+
+    conv_channels: int = 32
+    conv_layers: int = 2
+    rnn_hidden: int = 256
+    rnn_layers: int = 2
+    mode: str = "mask"           # "mask" (sigmoid mask * noisy mag) | "mapping" (direct mag)
+    dtype: str = "float32"
+
+
+@dataclass(frozen=True)
+class DiscriminatorConfig:
+    """Spectrogram discriminator (SURVEY.md §2 "Spectrogram discriminator")."""
+
+    channels: tuple = (32, 64, 128)
+    dtype: str = "float32"
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Optimization + loop parameters (reference train conf, SURVEY.md §2 "Config/flags")."""
+
+    objective: str = "aas"       # "paired" | "adversarial" | "acoustic" | "aas"
+    batch_size: int = 8          # global batch (split across the data mesh axis)
+    lr_g: float = 3e-4
+    lr_d: float = 3e-4
+    lr_am: float = 3e-4
+    adam_b1: float = 0.5         # GAN-friendly beta1 for G/D
+    adam_b2: float = 0.999
+    momentum: float = 0.9        # SGD momentum for AM pre-training
+    max_grad_norm: float = 400.0  # reference clips grads hard (deepspeech-era default)
+    lambda_adv: float = 1.0      # weight on adversarial term in the joint AAS loss
+    gan_loss: str = "lsgan"      # "lsgan" | "bce"
+    epochs: int = 10
+    steps_per_epoch: int = 0     # 0 = derive from dataset
+    seed: int = 0
+    checkpoint_dir: str = "checkpoints"
+    checkpoint_every: int = 500
+    log_every: int = 10
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout. Only a data axis is needed for parity (BASELINE.json:5:
+    "data-parallel over the TPU mesh"); a model axis is accepted for forward-compat."""
+
+    data_axis: str = "data"
+    num_devices: int = 0         # 0 = all visible devices
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Host-side data pipeline (SURVEY.md §2 "Manifest data pipeline")."""
+
+    train_manifest: str = ""
+    clean_manifest: str = ""     # unpaired clean corpus for the discriminator
+    val_manifest: str = ""
+    max_duration: float = 16.0   # seconds; longer utterances dropped
+    min_duration: float = 0.3
+    num_buckets: int = 4         # padded time-shape buckets (bounds jit recompiles)
+    augment: bool = False
+    noise_dir: str = ""
+    noise_prob: float = 0.4
+    noise_snr_range: tuple = (0.0, 15.0)
+
+
+@dataclass(frozen=True)
+class Config:
+    audio: AudioConfig = field(default_factory=AudioConfig)
+    am: AMConfig = field(default_factory=AMConfig)
+    enhancer: EnhancerConfig = field(default_factory=EnhancerConfig)
+    discriminator: DiscriminatorConfig = field(default_factory=DiscriminatorConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+
+    # ------------------------------------------------------------------ io
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, default=list)
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "Config":
+        def build(tp, val):
+            if dataclasses.is_dataclass(tp) and isinstance(val, dict):
+                fields = {f.name: f.type for f in dataclasses.fields(tp)}
+                kwargs = {}
+                for k, v in val.items():
+                    if k not in fields:
+                        continue
+                    sub = _FIELD_TYPES.get((tp.__name__, k))
+                    if sub is not None and isinstance(v, dict):
+                        kwargs[k] = build(sub, v)
+                    elif isinstance(v, list):
+                        kwargs[k] = tuple(v)
+                    else:
+                        kwargs[k] = v
+                return tp(**kwargs)
+            return val
+
+        return build(cls, d)
+
+    @classmethod
+    def from_json(cls, s: str) -> "Config":
+        return cls.from_dict(json.loads(s))
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+_FIELD_TYPES = {
+    ("Config", "audio"): AudioConfig,
+    ("Config", "am"): AMConfig,
+    ("Config", "enhancer"): EnhancerConfig,
+    ("Config", "discriminator"): DiscriminatorConfig,
+    ("Config", "train"): TrainConfig,
+    ("Config", "mesh"): MeshConfig,
+    ("Config", "data"): DataConfig,
+}
+
+
+# ---------------------------------------------------------------------------
+# Named presets: the five driver acceptance configs (BASELINE.json:7-11).
+# ---------------------------------------------------------------------------
+
+def preset(name: str) -> Config:
+    """The five graded end-to-end configs, smallest first (SURVEY.md §4)."""
+    base = Config()
+    if name == "single_utterance":        # config 1 (BASELINE.json:7)
+        return base.replace(train=dataclasses.replace(base.train, objective="enhance_only",
+                                                      batch_size=1))
+    if name == "paired":                  # config 2 (BASELINE.json:8)
+        return base.replace(train=dataclasses.replace(base.train, objective="paired"))
+    if name == "adversarial":             # config 3 (BASELINE.json:9)
+        return base.replace(train=dataclasses.replace(base.train, objective="adversarial"))
+    if name == "acoustic":                # config 4 (BASELINE.json:10)
+        return base.replace(train=dataclasses.replace(base.train, objective="acoustic"))
+    if name == "aas":                     # config 5 (BASELINE.json:11)
+        return base.replace(train=dataclasses.replace(base.train, objective="aas"))
+    raise ValueError(f"unknown preset: {name!r}")

@@ -1,0 +1,69 @@
+"""The enhancement inference path: wav -> STFT -> enhancer -> ISTFT -> wav.
+
+Reference parity: the `enhance` entry point (SURVEY.md §3.3) — read wavs, enhance the
+magnitude, reconstruct with the NOISY phase, write wavs.  This is the RTF metric path
+(BASELINE.json:2).  TPU-first: the whole chain is ONE jitted program per padded input
+shape (BASELINE.json:5 "Inference-mode enhancement (STFT -> network -> ISTFT) is fused
+end-to-end"), so XLA fuses featurization, the network, and reconstruction with no
+host round-trips.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aas_enhancement_tpu.config import Config
+from aas_enhancement_tpu.dsp.stft import magnitude, phase, reconstruct, stft
+from aas_enhancement_tpu.models.enhancer import Enhancer, apply_enhancement
+
+
+def init_enhancer(cfg: Config, rng: jax.Array, max_t: int = 128):
+    """Initialize enhancer params for any input length (shapes are length-agnostic)."""
+    model = Enhancer(cfg.enhancer)
+    x = jnp.zeros((1, max_t, cfg.audio.num_bins), jnp.float32)
+    lengths = jnp.array([max_t], jnp.int32)
+    return model.init(rng, x, lengths)
+
+
+def make_enhance_fn(cfg: Config):
+    """Returns jitted fn(params, wav [B, n], lengths [B]) -> enhanced wav [B, n].
+
+    One XLA program: framing + window + rFFT + normalization + conv/BLSTM + mask/map +
+    inverse rFFT + overlap-add.  Static per (B, n) bucket shape.
+    """
+    a = cfg.audio
+    model = Enhancer(cfg.enhancer)
+
+    @functools.partial(jax.jit, static_argnames=())
+    def enhance(params, wav: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+        re, im = stft(wav, a.n_fft, a.hop_length, a.window, a.center)
+        mag = magnitude(re, im)
+        ph = phase(re, im)
+        log_mag = jnp.log1p(mag)
+        if a.normalize:
+            mean = jnp.mean(log_mag, axis=(-2, -1), keepdims=True)
+            std = jnp.std(log_mag, axis=(-2, -1), keepdims=True)
+            net_in = (log_mag - mean) / (std + 1e-5)
+        else:
+            net_in = log_mag
+
+        frame_lengths = 1 + lengths // a.hop_length if a.center else (
+            1 + (lengths - a.n_fft) // a.hop_length)
+        out = model.apply(params, net_in, frame_lengths)
+        enhanced_mag = apply_enhancement(cfg.enhancer, out, mag)
+        return reconstruct(enhanced_mag, ph, a.n_fft, a.hop_length,
+                               a.window, a.center, length=wav.shape[-1])
+
+    return enhance
+
+
+def enhance_utterance(cfg: Config, params, wav: np.ndarray) -> np.ndarray:
+    """Single-utterance convenience wrapper (driver config 1, BASELINE.json:7)."""
+    fn = make_enhance_fn(cfg)
+    n = len(wav)
+    out = fn(params, jnp.asarray(wav)[None, :], jnp.array([n], jnp.int32))
+    return np.asarray(out[0])

@@ -1,0 +1,74 @@
+"""DeepSpeech2-style CTC acoustic model.
+
+Reference capability (SURVEY.md §2 "DeepSpeech2-style acoustic model", §3.5): two
+masked 2D convs (41x11 / 21x11 kernels, BatchNorm, HardTanh) -> stack of bidirectional
+GRUs (sum of directions) -> shared FC -> char logits; CTC-trained, then FROZEN as the
+acoustic-supervision teacher during AAS (BASELINE.json:5, :10).
+
+TPU-first design decisions:
+- NHWC layout [B, T, F, C] (XLA-preferred on TPU); kernels expressed (time, freq).
+- HardTanh(0, 20) kept for parity — it is elementwise and fuses into the conv.
+- MaskedGroupNorm instead of BatchNorm (padding-invariant, no running stats in the
+  jitted three-network step, batch-size independent at eval).
+- BiGRU is the fused-gate masked scan (ops/rnn.py): input projections hoisted onto the
+  MXU, `lax.scan` carries only the [B,H]x[H,3H] recurrent matmul.
+- Length arithmetic through the strided convs is integer math on the lengths vector
+  (ops/masking.conv_out_length), the MaskConv equivalent.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from aas_enhancement_tpu.config import AMConfig
+from aas_enhancement_tpu.ops.masking import apply_time_mask, conv_out_length
+from aas_enhancement_tpu.ops.norm import MaskedGroupNorm
+from aas_enhancement_tpu.ops.rnn import BiRNN
+
+
+def _hardtanh(x, lo=0.0, hi=20.0):
+    return jnp.clip(x, lo, hi)
+
+
+class AcousticModel(nn.Module):
+    """log1p-magnitude [B, T, F] + lengths [B] -> (logits [B, T', V], out_lengths [B]).
+
+    T' = ceil(T / 2): conv1 strides 2 in time (and 2 in freq), conv2 strides 2 in freq
+    only, mirroring the reference's downsampling.
+    """
+
+    cfg: AMConfig
+
+    @nn.compact
+    def __call__(self, log_mag: jnp.ndarray, lengths: jnp.ndarray):
+        dtype = jnp.dtype(self.cfg.dtype)
+        c = self.cfg.conv_channels
+        x = log_mag.astype(dtype)[..., None]                  # [B, T, F, 1]
+
+        # conv1: kernel (time=11, freq=41), stride (2, 2)
+        x = nn.Conv(c, kernel_size=(11, 41), strides=(2, 2), padding="SAME",
+                    dtype=dtype, name="conv1")(x)
+        out_lengths = conv_out_length(lengths, 11, 2, "SAME")
+        x = MaskedGroupNorm(num_groups=8, dtype=dtype, name="gn1")(x, out_lengths)
+        x = _hardtanh(x)
+        x = apply_time_mask(x, out_lengths)
+
+        # conv2: kernel (time=11, freq=21), stride (1, 2)
+        x = nn.Conv(c, kernel_size=(11, 21), strides=(1, 2), padding="SAME",
+                    dtype=dtype, name="conv2")(x)
+        x = MaskedGroupNorm(num_groups=8, dtype=dtype, name="gn2")(x, out_lengths)
+        x = _hardtanh(x)
+        x = apply_time_mask(x, out_lengths)
+
+        b, t, f, ch = x.shape
+        x = x.reshape(b, t, f * ch)
+        for i in range(self.cfg.rnn_layers):
+            x = BiRNN(self.cfg.rnn_hidden, cell=self.cfg.rnn_type, dtype=dtype,
+                      name=f"rnn{i}")(x, out_lengths)
+
+        # SequenceWise FC (shared across time) -> vocab logits.
+        logits = nn.Dense(self.cfg.vocab_size, dtype=jnp.float32, name="fc")(
+            x.astype(jnp.float32))
+        logits = apply_time_mask(logits, out_lengths)
+        return logits, out_lengths

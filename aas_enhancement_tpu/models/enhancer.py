@@ -1,0 +1,81 @@
+"""Speech-enhancement network: conv stack + BLSTM over log-magnitude spectrograms.
+
+Reference capability (SURVEY.md §2 "Enhancement network", BASELINE.json:5): a
+conv + BLSTM network over the noisy log-spectrogram with two output modes —
+**mask** (sigmoid mask multiplied onto the noisy magnitude) and **mapping** (direct
+enhanced magnitude).  TPU-first deviations from the 2018 GPU design:
+
+- GroupNorm instead of BatchNorm: no running statistics to thread through jit, exact
+  behavior at inference batch-1 (the RTF path), and no cross-replica stat syncing on
+  the data mesh axis.
+- The BLSTM is the fused-gate masked scan from ops/rnn.py (input matmuls hoisted onto
+  the MXU).
+- All shapes static; padding handled by length masks end-to-end.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from aas_enhancement_tpu.config import EnhancerConfig
+from aas_enhancement_tpu.ops.masking import apply_time_mask
+from aas_enhancement_tpu.ops.norm import MaskedGroupNorm
+from aas_enhancement_tpu.ops.rnn import BiRNN
+
+
+class Enhancer(nn.Module):
+    """noisy log1p-magnitude [B, T, F] -> enhancement output [B, T, F].
+
+    mode="mask":    output is a sigmoid mask in (0, 1); enhanced_mag = mask * noisy_mag.
+    mode="mapping": output is a non-negative log1p-magnitude; enhanced_mag = expm1(out).
+    """
+
+    cfg: EnhancerConfig
+
+    @nn.compact
+    def __call__(self, log_mag: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+        dtype = jnp.dtype(self.cfg.dtype)
+        x = log_mag.astype(dtype)[..., None]            # [B, T, F, 1]
+
+        for i in range(self.cfg.conv_layers):
+            x = nn.Conv(self.cfg.conv_channels, kernel_size=(5, 5), strides=(1, 1),
+                        padding="SAME", dtype=dtype, name=f"conv{i}")(x)
+            x = MaskedGroupNorm(num_groups=8, dtype=dtype, name=f"gn{i}")(x, lengths)
+            x = nn.leaky_relu(x, negative_slope=0.2)
+            x = apply_time_mask(x, lengths)
+
+        b, t, f, c = x.shape
+        x = x.reshape(b, t, f * c)
+        for i in range(self.cfg.rnn_layers):
+            x = BiRNN(self.cfg.rnn_hidden, cell="lstm", dtype=dtype,
+                      name=f"blstm{i}")(x, lengths)
+
+        out = nn.Dense(log_mag.shape[-1], dtype=dtype, name="proj")(x)
+        out = out.astype(jnp.float32)
+
+        if self.cfg.mode == "mask":
+            out = jax.nn.sigmoid(out)
+        else:  # mapping
+            out = jax.nn.softplus(out)
+        return apply_time_mask(out, lengths)
+
+
+def apply_enhancement(cfg: EnhancerConfig, out: jnp.ndarray,
+                      noisy_mag: jnp.ndarray) -> jnp.ndarray:
+    """Combine the network output with the noisy magnitude -> enhanced magnitude."""
+    if cfg.mode == "mask":
+        return out * noisy_mag
+    return jnp.expm1(out)
+
+
+def enhanced_log_mag(cfg: EnhancerConfig, out: jnp.ndarray,
+                     noisy_log_mag_raw: jnp.ndarray) -> jnp.ndarray:
+    """Enhanced log1p-magnitude (the domain the AM and discriminator consume).
+
+    noisy_log_mag_raw is the UNNORMALIZED log1p magnitude.
+    """
+    if cfg.mode == "mask":
+        return jnp.log1p(out * jnp.expm1(noisy_log_mag_raw))
+    return out

@@ -1,0 +1,66 @@
+"""Greedy decode + WER (SURVEY.md §4 item 1: hand-built collapse/blank cases)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from aas_enhancement_tpu.decode.greedy import decode_batch, greedy_decode
+from aas_enhancement_tpu.decode.wer import cer, corpus_wer, edit_distance, wer
+from aas_enhancement_tpu.labels import LABELS
+
+
+def _logits_from_ids(ids, v=29):
+    """One-hot-ish logits that argmax to the given id sequence."""
+    t = len(ids)
+    out = np.zeros((t, v), np.float32)
+    for i, c in enumerate(ids):
+        out[i, c] = 5.0
+    return out
+
+
+def test_collapse_and_blank():
+    # argmax path: A A _ A B B _  -> "AABB" collapses to "ABA"? No:
+    # A A -> A; _ ; A -> A; B B -> B  => "AAB" -> string "A A B" = "AAB"
+    a, b = LABELS.index("A"), LABELS.index("B")
+    path = [a, a, 0, a, b, b, 0]
+    logits = jnp.asarray(_logits_from_ids(path))[None]
+    pads = jnp.zeros((1, len(path)))
+    ids, counts = greedy_decode(logits, pads)
+    assert int(counts[0]) == 3
+    assert decode_batch(logits, pads) == ["AAB"]
+
+
+def test_padding_ignored():
+    a = LABELS.index("A")
+    path = [a, 0, a, a, a]  # last 3 frames padded
+    logits = jnp.asarray(_logits_from_ids(path))[None]
+    pads = jnp.asarray([[0.0, 0.0, 1.0, 1.0, 1.0]])
+    assert decode_batch(logits, pads) == ["A"]
+
+
+def test_empty_output():
+    logits = jnp.asarray(_logits_from_ids([0, 0, 0]))[None]
+    pads = jnp.zeros((1, 3))
+    ids, counts = greedy_decode(logits, pads)
+    assert int(counts[0]) == 0
+    assert decode_batch(logits, pads) == [""]
+
+
+def test_edit_distance_vs_levenshtein_pkg():
+    try:
+        import Levenshtein
+    except ImportError:
+        import pytest
+        pytest.skip("Levenshtein not installed")
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        a = "".join(rng.choice(list("ABCD "), size=rng.integers(0, 12)))
+        b = "".join(rng.choice(list("ABCD "), size=rng.integers(0, 12)))
+        assert edit_distance(list(a), list(b)) == Levenshtein.distance(a, b)
+
+
+def test_wer_cer():
+    assert wer("THE CAT SAT", "THE CAT SAT") == 0.0
+    assert wer("THE CAT SAT", "THE BAT SAT") == 1 / 3
+    assert wer("A B", "") == 1.0
+    assert cer("ABC", "ABD") == 1 / 3
+    assert corpus_wer(["A B", "C D"], ["A B", "C X"]) == 0.25
