@@ -45,16 +45,24 @@ def main(argv=None) -> None:
     p.add_argument("--mode", choices=["mask", "mapping"], default=None)
     args = p.parse_args(argv)
 
+    from aas_enhancement_tpu.utils import jax_cache
+    jax_cache.enable()
+
     cfg = Config.from_json(open(args.config).read()) if args.config else Config()
     if args.mode:
         cfg = cfg.replace(enhancer=cfg.enhancer.__class__(
             **{**cfg.enhancer.__dict__, "mode": args.mode}))
 
-    params = init_enhancer(cfg, jax.random.key(cfg.train.seed))
     if args.checkpoint:
-        from aas_enhancement_tpu.utils.checkpoint import restore_latest
-        restored = restore_latest(args.checkpoint, {"g_params": params})
-        params = restored["g_params"]
+        from aas_enhancement_tpu.train.loop import load_state
+        state, ck_cfg = load_state(args.checkpoint)
+        if not state.g_params:
+            raise SystemExit(f"{args.checkpoint}: checkpoint has no enhancer")
+        params = state.g_params
+        if not args.config:
+            cfg = cfg.replace(enhancer=ck_cfg.enhancer, audio=ck_cfg.audio)
+    else:
+        params = init_enhancer(cfg, jax.random.key(cfg.train.seed))
 
     paths = []
     if args.input:

@@ -1,0 +1,107 @@
+"""`train` entry point — all objectives behind one CLI.
+
+Reference parity: the per-experiment train scripts (SURVEY.md §2 "Train: acoustic
+model" / "Train: AAS joint" / "Train: ablation modes", L6 entry points) collapsed
+into one command with --objective selecting the driver config:
+
+  paired       config 2 (BASELINE.json:8)   L1 mapping, needs --clean-manifest (paired)
+  adversarial  config 3 (BASELINE.json:9)   GAN, needs --clean-manifest (unpaired)
+  acoustic     config 4 (BASELINE.json:10)  frozen-AM CTC, needs --am-checkpoint
+  aas          config 5 (BASELINE.json:11)  joint, needs both
+  am           AM CTC pre-training (SURVEY.md §3.1)
+
+Usage:
+  python -m aas_enhancement_tpu.cli.train --objective paired \
+      --noisy-manifest noisy.csv --clean-manifest clean.csv --steps 100
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+
+import jax
+
+from aas_enhancement_tpu.config import Config
+from aas_enhancement_tpu.train.loop import init_state, train
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--objective", required=True,
+                   choices=["paired", "adversarial", "acoustic", "aas", "am"])
+    p.add_argument("--noisy-manifest", required=True,
+                   help="training manifest (clean manifest for --objective am)")
+    p.add_argument("--clean-manifest",
+                   help="paired clean manifest (paired) / unpaired clean corpus (adv, aas)")
+    p.add_argument("--am-checkpoint", help="pre-trained AM checkpoint dir (acoustic, aas)")
+    p.add_argument("--config", help="config JSON file")
+    p.add_argument("--steps", type=int, default=0, help="stop after N steps (0 = epochs)")
+    p.add_argument("--epochs", type=int, default=0)
+    p.add_argument("--batch-size", type=int, default=0)
+    p.add_argument("--lambda-adv", type=float, default=None)
+    p.add_argument("--log-every", type=int, default=0)
+    p.add_argument("--checkpoint-dir", default="")
+    p.add_argument("--continue-from", dest="resume", action="store_true",
+                   help="resume from the latest checkpoint in --checkpoint-dir")
+    p.add_argument("--metrics", help="JSONL metrics path")
+    args = p.parse_args(argv)
+
+    from aas_enhancement_tpu.utils import jax_cache
+    jax_cache.enable()
+
+    cfg = Config.from_json(open(args.config).read()) if args.config else Config()
+    tr = {"objective": args.objective}
+    if args.epochs:
+        tr["epochs"] = args.epochs
+    if args.batch_size:
+        tr["batch_size"] = args.batch_size
+    if args.lambda_adv is not None:
+        tr["lambda_adv"] = args.lambda_adv
+    if args.log_every:
+        tr["log_every"] = args.log_every
+    cfg = cfg.replace(train=dataclasses.replace(cfg.train, **tr))
+
+    if args.objective in ("paired",) and not args.clean_manifest:
+        p.error("--objective paired requires --clean-manifest (paired targets)")
+    if args.objective in ("adversarial", "aas") and not args.clean_manifest:
+        p.error(f"--objective {args.objective} requires --clean-manifest (unpaired corpus)")
+
+    am_params = None
+    if args.am_checkpoint:
+        from aas_enhancement_tpu.models.am import AcousticModel
+        from aas_enhancement_tpu.utils.checkpoint import restore_latest
+        import jax.numpy as jnp
+        template = AcousticModel(cfg.am).init(
+            jax.random.key(0), jnp.zeros((1, 64, cfg.audio.num_bins)),
+            jnp.array([64], jnp.int32))
+        am_params = restore_latest(args.am_checkpoint, {"am_params": template})["am_params"]
+    elif args.objective in ("acoustic", "aas"):
+        print("WARNING: no --am-checkpoint given; using a RANDOM-INIT frozen AM "
+              "(fine for smoke tests, useless as supervision)", flush=True)
+
+    state = init_state(cfg, jax.random.key(cfg.train.seed), am_params=am_params)
+
+    if args.checkpoint_dir:
+        os.makedirs(args.checkpoint_dir, exist_ok=True)
+        with open(os.path.join(args.checkpoint_dir, "config.json"), "w") as f:
+            f.write(cfg.to_json())
+
+    state, records = train(
+        cfg, args.noisy_manifest, args.clean_manifest,
+        paired=(args.objective == "paired"),
+        max_steps=args.steps,
+        metrics_path=args.metrics,
+        checkpoint_dir=args.checkpoint_dir or None,
+        resume=args.resume,
+        state=state)
+
+    final = records[-1] if records else {}
+    print(json.dumps({"final_step": int(state.step), **{
+        k: v for k, v in final.items() if k.startswith("loss")}}))
+
+
+if __name__ == "__main__":
+    main()

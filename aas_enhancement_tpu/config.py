@@ -24,6 +24,7 @@ class AudioConfig:
     window: str = "hann"         # "hann" | "hamming"
     center: bool = True          # reflect-pad n_fft//2 on both sides (librosa-style)
     normalize: bool = True       # per-utterance mean/std normalization of log-mag
+    stft_impl: str = "auto"      # "jax" | "pallas" | "auto" (pallas on TPU when eligible)
 
     @property
     def n_fft(self) -> int:

@@ -1,0 +1,139 @@
+"""CTC beam search: ctypes binding to the native C++ decoder + python fallback.
+
+Reference parity: the optional `ctcdecode` C++ beam decoder (SURVEY.md §2
+"NATIVE: ctcdecode", rebuild obligation #3).  The shared library is built from
+native/ctc_beam/ctc_beam.cc (`make -C native`); if it is missing we build it on
+first use, and if no compiler exists we fall back to the pure-python reference
+implementation of the same prefix-beam-search algorithm (also the correctness
+oracle in tests/test_beam.py).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import math
+import os
+import subprocess
+from collections import defaultdict
+
+import numpy as np
+
+from aas_enhancement_tpu.labels import BLANK_ID, LABELS
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "build", "libctcbeam.so")
+
+_lib = None
+_lib_tried = False
+
+
+def _load_lib():
+    global _lib, _lib_tried
+    if _lib is not None or _lib_tried:
+        return _lib
+    _lib_tried = True
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                           capture_output=True, timeout=120)
+        except (subprocess.SubprocessError, OSError):
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.ctc_beam_search.restype = ctypes.c_int
+        lib.ctc_beam_search.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        _lib = lib
+    except OSError:
+        _lib = None
+    return _lib
+
+
+def beam_search_native(log_probs: np.ndarray, beam_width: int = 32,
+                       blank: int = BLANK_ID, prune_k: int = 16):
+    """[T, V] log-probs -> (ids list, score) via the C++ decoder, or None."""
+    lib = _load_lib()
+    if lib is None:
+        return None
+    lp = np.ascontiguousarray(log_probs, dtype=np.float32)
+    t, v = lp.shape
+    max_out = t + 1
+    out = np.zeros(max_out, np.int32)
+    score = ctypes.c_float(0.0)
+    n = lib.ctc_beam_search(
+        lp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), t, v,
+        beam_width, blank, prune_k,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), max_out,
+        ctypes.byref(score))
+    if n < 0:
+        return None
+    return list(out[:n]), float(score.value)
+
+
+def beam_search_python(log_probs: np.ndarray, beam_width: int = 32,
+                       blank: int = BLANK_ID, prune_k: int = 16):
+    """Pure-python prefix beam search (reference implementation / fallback)."""
+    t, v = log_probs.shape
+    beams: dict[tuple, list] = {(): [0.0, -math.inf]}  # prefix -> [p_b, p_nb]
+
+    def lse(a, b):
+        if a == -math.inf:
+            return b
+        if b == -math.inf:
+            return a
+        m = max(a, b)
+        return m + math.log(math.exp(a - m) + math.exp(b - m))
+
+    for step in range(t):
+        lp = log_probs[step]
+        syms = np.argsort(-lp)[:prune_k] if 0 < prune_k < v else range(v)
+        next_beams: dict[tuple, list] = defaultdict(lambda: [-math.inf, -math.inf])
+        for prefix, (p_b, p_nb) in beams.items():
+            total = lse(p_b, p_nb)
+            nb = next_beams[prefix]
+            nb[0] = lse(nb[0], total + float(lp[blank]))
+            last = prefix[-1] if prefix else None
+            for c in syms:
+                c = int(c)
+                if c == blank:
+                    continue
+                p = float(lp[c])
+                if c == last:
+                    nb2 = next_beams[prefix]
+                    nb2[1] = lse(nb2[1], p_nb + p)
+                    ext = next_beams[prefix + (c,)]
+                    ext[1] = lse(ext[1], p_b + p)
+                else:
+                    ext = next_beams[prefix + (c,)]
+                    ext[1] = lse(ext[1], total + p)
+        ranked = sorted(next_beams.items(), key=lambda kv: -lse(kv[1][0], kv[1][1]))
+        beams = dict(ranked[:beam_width])
+
+    best, (p_b, p_nb) = max(beams.items(), key=lambda kv: lse(kv[1][0], kv[1][1]))
+    return list(best), lse(p_b, p_nb)
+
+
+def beam_decode(log_probs: np.ndarray, lengths: np.ndarray | None = None,
+                beam_width: int = 32, labels: str = LABELS,
+                prune_k: int = 16) -> list[str]:
+    """Batch [B, T, V] log-probs (+ valid lengths) -> decoded strings.
+
+    Uses the native C++ decoder when available, python fallback otherwise.
+    """
+    if log_probs.ndim == 2:
+        log_probs = log_probs[None]
+    out = []
+    for b in range(log_probs.shape[0]):
+        t = int(lengths[b]) if lengths is not None else log_probs.shape[1]
+        lp = np.asarray(log_probs[b, :t], np.float32)
+        result = beam_search_native(lp, beam_width, prune_k=prune_k)
+        if result is None:
+            result = beam_search_python(lp, beam_width, prune_k=prune_k)
+        ids, _ = result
+        out.append("".join(labels[i] for i in ids))
+    return out

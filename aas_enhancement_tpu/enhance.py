@@ -17,8 +17,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from aas_enhancement_tpu.config import Config
-from aas_enhancement_tpu.dsp.stft import magnitude, phase, reconstruct, stft
+from aas_enhancement_tpu.dsp import api as dsp_api
+from aas_enhancement_tpu.dsp.stft import magnitude, phase
 from aas_enhancement_tpu.models.enhancer import Enhancer, apply_enhancement
+from aas_enhancement_tpu.ops.masking import masked_normalize
 
 
 def init_enhancer(cfg: Config, rng: jax.Array, max_t: int = 128):
@@ -40,23 +42,19 @@ def make_enhance_fn(cfg: Config):
 
     @functools.partial(jax.jit, static_argnames=())
     def enhance(params, wav: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
-        re, im = stft(wav, a.n_fft, a.hop_length, a.window, a.center)
+        re, im = dsp_api.stft(a, wav)
         mag = magnitude(re, im)
         ph = phase(re, im)
         log_mag = jnp.log1p(mag)
-        if a.normalize:
-            mean = jnp.mean(log_mag, axis=(-2, -1), keepdims=True)
-            std = jnp.std(log_mag, axis=(-2, -1), keepdims=True)
-            net_in = (log_mag - mean) / (std + 1e-5)
-        else:
-            net_in = log_mag
-
         frame_lengths = 1 + lengths // a.hop_length if a.center else (
             1 + (lengths - a.n_fft) // a.hop_length)
+        if a.normalize:
+            net_in = masked_normalize(log_mag, frame_lengths)
+        else:
+            net_in = log_mag
         out = model.apply(params, net_in, frame_lengths)
         enhanced_mag = apply_enhancement(cfg.enhancer, out, mag)
-        return reconstruct(enhanced_mag, ph, a.n_fft, a.hop_length,
-                               a.window, a.center, length=wav.shape[-1])
+        return dsp_api.reconstruct(a, enhanced_mag, ph, length=wav.shape[-1])
 
     return enhance
 

@@ -31,6 +31,18 @@ def conv_out_length(lengths: jnp.ndarray, kernel: int, stride: int,
     return (lengths - kernel) // stride + 1
 
 
+def masked_normalize(x: jnp.ndarray, lengths: jnp.ndarray,
+                     eps: float = 1e-5) -> jnp.ndarray:
+    """Per-utterance mean/std normalization of [B, T, F] over VALID frames only,
+    with padded frames zeroed (the deepspeech-style per-utterance norm, made
+    padding-invariant)."""
+    mask = time_mask(lengths, x.shape[1], x.dtype)[:, :, None]
+    count = jnp.maximum(jnp.sum(mask, axis=(1, 2), keepdims=True) * x.shape[2], 1.0)
+    mean = jnp.sum(x * mask, axis=(1, 2), keepdims=True) / count
+    var = jnp.sum(((x - mean) ** 2) * mask, axis=(1, 2), keepdims=True) / count
+    return ((x - mean) / jnp.sqrt(var + eps)) * mask
+
+
 def masked_mean(x: jnp.ndarray, lengths: jnp.ndarray, axis=(1, 2)) -> jnp.ndarray:
     """Mean of x [B, T, ...] over valid frames only."""
     mask = time_mask(lengths, x.shape[1], x.dtype)

@@ -1,0 +1,60 @@
+"""Device mesh + sharding helpers: the NCCL/DataParallel equivalent.
+
+Reference capability (SURVEY.md §2 "PARALLELISM — DP", "COMM BACKEND"): multi-GPU
+data parallel via torch DataParallel/DDP with NCCL all-reduce.  TPU-native rebuild
+obligation #4: no hand-written comm layer — a 1-D `Mesh(('data',))`, batch arrays
+sharded on the data axis, state replicated; GSPMD lowers the gradient reduction to
+ICI collectives.  Multi-host DCN would come free via `jax.distributed.initialize`
+(out of scope per SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from aas_enhancement_tpu.config import MeshConfig
+
+
+def make_mesh(cfg: MeshConfig | None = None, num_devices: int = 0) -> Mesh:
+    cfg = cfg or MeshConfig()
+    n = num_devices or cfg.num_devices or len(jax.devices())
+    devices = np.asarray(jax.devices()[:n])
+    return Mesh(devices, axis_names=(cfg.data_axis,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) dim split over the data axis, rest replicated."""
+    return NamedSharding(mesh, P(mesh.axis_names[0]))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: dict[str, Any]) -> dict[str, Any]:
+    """Host batch dict -> device arrays with the batch dim over the data axis."""
+    sh = batch_sharding(mesh)
+    return {k: jax.device_put(v, sh) for k, v in batch.items() if v is not None}
+
+
+def replicate_state(mesh: Mesh, state: Any) -> Any:
+    rep = replicated(mesh)
+    return jax.device_put(state, rep)
+
+
+def pad_batch_to_devices(batch: dict[str, Any], n: int) -> dict[str, Any]:
+    """Repeat-pad the batch dim to a multiple of n (shard evenness requirement)."""
+    out = {}
+    for k, v in batch.items():
+        if v is None:
+            continue
+        b = v.shape[0]
+        rem = (-b) % n
+        if rem:
+            v = np.concatenate([v, v[:rem]], axis=0)
+        out[k] = v
+    return out

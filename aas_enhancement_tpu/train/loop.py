@@ -1,0 +1,183 @@
+"""Generic training loop: dataset streaming, sharded single-jit steps, checkpoints.
+
+Reference capability: the per-experiment train scripts (SURVEY.md §2 "Train: *",
+§3.1-§3.2) — epochs over bucketed batches, per-iter loss logging, epoch checkpoints,
+`--continue_from` resume.  TPU-native: batches are device_put with the data axis
+sharded over the mesh, the step function is jitted once per bucket shape, and Orbax
+handles async checkpointing.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aas_enhancement_tpu.config import Config
+from aas_enhancement_tpu.data.dataset import AudioDataset, UnpairedCleanStream
+from aas_enhancement_tpu.enhance import init_enhancer
+from aas_enhancement_tpu.models.am import AcousticModel
+from aas_enhancement_tpu.models.discriminator import Discriminator
+from aas_enhancement_tpu.parallel.mesh import (make_mesh, pad_batch_to_devices,
+                                               replicate_state, shard_batch)
+from aas_enhancement_tpu.train.state import (TrainState, am_optimizer, d_optimizer,
+                                             g_optimizer)
+from aas_enhancement_tpu.train.steps import make_train_step
+from aas_enhancement_tpu.utils.metrics import MetricsLogger
+
+
+def init_state(cfg: Config, rng: jax.Array, am_params=None) -> TrainState:
+    """Initialize exactly the networks the objective needs."""
+    objective = cfg.train.objective
+    r_g, r_d, r_am = jax.random.split(rng, 3)
+    f = cfg.audio.num_bins
+    x = jnp.zeros((1, 64, f), jnp.float32)
+    lengths = jnp.array([64], jnp.int32)
+
+    kw = {}
+    if objective in ("paired", "adversarial", "acoustic", "aas", "enhance_only"):
+        g_params = init_enhancer(cfg, r_g)
+        kw["g_params"] = g_params
+        kw["g_opt"] = g_optimizer(cfg).init(g_params)
+    if objective in ("adversarial", "aas"):
+        d_params = Discriminator(cfg.discriminator).init(r_d, x, lengths)
+        kw["d_params"] = d_params
+        kw["d_opt"] = d_optimizer(cfg).init(d_params)
+    if objective in ("acoustic", "aas"):
+        if am_params is None:
+            am_params = AcousticModel(cfg.am).init(r_am, x, lengths)
+        kw["am_params"] = am_params
+    if objective == "am":
+        if am_params is None:
+            am_params = AcousticModel(cfg.am).init(r_am, x, lengths)
+        kw["am_params"] = am_params
+        kw["am_opt"] = am_optimizer(cfg).init(am_params)
+
+    return TrainState(step=jnp.zeros((), jnp.int32), rng=rng, **kw)
+
+
+def load_state(checkpoint_dir: str) -> tuple[TrainState, Config]:
+    """Restore the latest full TrainState from a training checkpoint dir.
+
+    The template is rebuilt from the config.json the train CLI writes beside the
+    checkpoints, so callers (evaluate/enhance) need no knowledge of which networks
+    the producing objective carried.
+    """
+    import os
+
+    from aas_enhancement_tpu.utils import checkpoint as ckpt
+
+    cfg_path = os.path.join(checkpoint_dir, "config.json")
+    if not os.path.exists(cfg_path):
+        raise FileNotFoundError(
+            f"{checkpoint_dir}: no config.json — not a train-CLI checkpoint dir")
+    cfg = Config.from_json(open(cfg_path).read())
+    template = jax.device_get(init_state(cfg, jax.random.key(0)))
+    state = ckpt.restore_latest(checkpoint_dir, template)
+    return state, cfg
+
+
+def _batch_dict(cfg: Config, batch, clean_stream: UnpairedCleanStream | None):
+    d = {"wav": batch.wav, "wav_lengths": batch.wav_lengths,
+         "labels": batch.labels, "label_paddings": batch.label_paddings}
+    objective = cfg.train.objective
+    if objective == "paired":
+        if batch.clean_wav is None:
+            raise ValueError("paired objective needs a paired clean manifest")
+        d["clean_wav"] = batch.clean_wav
+    if objective in ("adversarial", "aas"):
+        if clean_stream is None:
+            raise ValueError(f"{objective} objective needs an unpaired clean manifest")
+        cb = clean_stream.next_batch(batch.wav.shape[1])
+        d["clean_wav"] = cb.wav
+        d["clean_wav_lengths"] = cb.wav_lengths
+    return d
+
+
+def train(cfg: Config, noisy_manifest: str, clean_manifest: str | None = None,
+          paired: bool = False, max_steps: int = 0,
+          metrics_path: str | None = None,
+          checkpoint_dir: str | None = None,
+          resume: bool = False,
+          state: TrainState | None = None,
+          step_fn: Callable | None = None) -> tuple[TrainState, list[dict]]:
+    """Run cfg.train.objective.  Returns (final_state, metric records)."""
+    mesh = make_mesh(cfg.mesh)
+    n_dev = len(mesh.devices.ravel())
+
+    ds = AudioDataset(noisy_manifest, cfg.audio, cfg.data,
+                      paired_manifest=clean_manifest if paired else None)
+    clean_stream = None
+    if cfg.train.objective in ("adversarial", "aas"):
+        clean_ds = AudioDataset(clean_manifest, cfg.audio, cfg.data)
+        clean_stream = UnpairedCleanStream(clean_ds, cfg.train.batch_size,
+                                           seed=cfg.train.seed + 1)
+
+    if state is None:
+        state = init_state(cfg, jax.random.key(cfg.train.seed))
+
+    mgr = None
+    if checkpoint_dir:
+        from aas_enhancement_tpu.utils import checkpoint as ckpt
+        mgr = ckpt.make_manager(checkpoint_dir)
+        if resume and mgr.latest_step() is not None:
+            state = ckpt.restore(mgr, mgr.latest_step(), state)
+
+    state = replicate_state(mesh, state)
+    step = step_fn or make_train_step(cfg)
+    step = jax.jit(step, donate_argnums=(0,))
+
+    logger = MetricsLogger(metrics_path)
+    records = []
+    t_last = time.perf_counter()
+    done = False
+
+    # Resume fast-forwards the deterministic data stream to the checkpointed
+    # position (batch count per epoch is order-shuffled but size-stable), so the
+    # loss curve continues exactly (SURVEY.md §5 "Checkpoint/resume").
+    steps_done = int(state.step)
+    steps_per_epoch = sum(1 for _ in ds.batches(cfg.train.batch_size,
+                                                cfg.train.seed, 0))
+    start_epoch = steps_done // steps_per_epoch
+    skip = steps_done % steps_per_epoch
+
+    with mesh:
+        for epoch in range(start_epoch, cfg.train.epochs):
+            if done:
+                break
+            for i, batch in enumerate(
+                    ds.batches(cfg.train.batch_size, cfg.train.seed, epoch)):
+                if epoch == start_epoch and i < skip:
+                    continue
+                bd = _batch_dict(cfg, batch, clean_stream)
+                bd = pad_batch_to_devices(bd, n_dev)
+                bd = shard_batch(mesh, bd)
+                state, aux = step(state, bd)
+
+                s = int(state.step)
+                if s % cfg.train.log_every == 0 or s == 1:
+                    aux = {k: float(v) for k, v in aux.items()}
+                    now = time.perf_counter()
+                    utts_sec = cfg.train.batch_size * cfg.train.log_every / max(
+                        now - t_last, 1e-9) if s > 1 else 0.0
+                    t_last = now
+                    rec = {"step": s, "epoch": epoch, "utts_per_sec": utts_sec, **aux}
+                    records.append(rec)
+                    logger.log(s, **{k: v for k, v in rec.items() if k != "step"})
+                if mgr and s % cfg.train.checkpoint_every == 0:
+                    from aas_enhancement_tpu.utils import checkpoint as ckpt
+                    ckpt.save(mgr, s, jax.device_get(state))
+                if max_steps and s >= max_steps:
+                    done = True
+                    break
+
+    if mgr:
+        from aas_enhancement_tpu.utils import checkpoint as ckpt
+        ckpt.save(mgr, int(state.step), jax.device_get(state))
+        mgr.wait_until_finished()
+        mgr.close()
+    logger.close()
+    return jax.device_get(state), records

@@ -1,0 +1,136 @@
+"""Loss functions for the four training objectives + AM pre-training.
+
+Reference capability (SURVEY.md §2 "Losses", §3.2; BASELINE.json:8-11):
+- paired L1/MSE spectrogram mapping (supervised baseline, config 2)
+- adversarial LSGAN/BCE on the spectrogram discriminator (config 3)
+- acoustic supervision: CTC of the frozen AM on enhanced features (config 4)
+- joint AAS: L_G = L_acoustic + lambda * L_adv (config 5)
+
+All device-side, fully jittable, padding-masked.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from aas_enhancement_tpu.config import Config
+from aas_enhancement_tpu.dsp import api as dsp_api
+from aas_enhancement_tpu.dsp.stft import magnitude
+from aas_enhancement_tpu.models.am import AcousticModel
+from aas_enhancement_tpu.models.discriminator import Discriminator
+from aas_enhancement_tpu.models.enhancer import Enhancer, apply_enhancement
+from aas_enhancement_tpu.ops.ctc import ctc_loss_mean
+from aas_enhancement_tpu.ops.masking import masked_normalize, time_mask
+
+
+def device_features(cfg: Config, wav: jnp.ndarray, wav_lengths: jnp.ndarray):
+    """On-device featurization: padded wav [B, N] -> (mag, log_mag, frame_lengths).
+
+    The host ships waveforms; STFT runs inside the jitted step (BASELINE.json:5).
+    """
+    a = cfg.audio
+    re, im = dsp_api.stft(a, wav)
+    mag = magnitude(re, im)
+    log_mag = jnp.log1p(mag)
+    if a.center:
+        frame_lengths = 1 + wav_lengths // a.hop_length
+    else:
+        frame_lengths = 1 + (wav_lengths - a.n_fft) // a.hop_length
+    return mag, log_mag, frame_lengths.astype(jnp.int32)
+
+
+def enhancer_forward(cfg: Config, g_params, wav, wav_lengths):
+    """noisy wav -> (enhanced_mag, enhanced_log_mag, frame_lengths)."""
+    mag, log_mag, fl = device_features(cfg, wav, wav_lengths)
+    net_in = masked_normalize(log_mag, fl) if cfg.audio.normalize else log_mag
+    out = Enhancer(cfg.enhancer).apply(g_params, net_in, fl)
+    enh_mag = apply_enhancement(cfg.enhancer, out, mag)
+    return enh_mag, jnp.log1p(enh_mag), fl
+
+
+def masked_l1(pred: jnp.ndarray, target: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+    mask = time_mask(lengths, pred.shape[1], pred.dtype)[:, :, None]
+    num = jnp.sum(jnp.abs(pred - target) * mask)
+    return num / jnp.maximum(jnp.sum(mask) * pred.shape[2], 1.0)
+
+
+def paired_loss(cfg: Config, g_params, batch) -> tuple[jnp.ndarray, dict]:
+    """Config 2: L1 between enhanced and clean log-magnitudes (BASELINE.json:8)."""
+    _, enh_log, fl = enhancer_forward(cfg, g_params, batch["wav"], batch["wav_lengths"])
+    _, clean_log, _ = device_features(cfg, batch["clean_wav"], batch["wav_lengths"])
+    loss = masked_l1(enh_log, clean_log, fl)
+    return loss, {"loss_paired": loss}
+
+
+def gan_g_loss(cfg: Config, scores_fake: jnp.ndarray) -> jnp.ndarray:
+    if cfg.train.gan_loss == "lsgan":
+        return jnp.mean((scores_fake - 1.0) ** 2)
+    return jnp.mean(jax.nn.softplus(-scores_fake))          # BCE: -log sigmoid(fake)
+
+
+def gan_d_loss(cfg: Config, scores_real: jnp.ndarray,
+               scores_fake: jnp.ndarray) -> jnp.ndarray:
+    if cfg.train.gan_loss == "lsgan":
+        return 0.5 * (jnp.mean((scores_real - 1.0) ** 2) + jnp.mean(scores_fake ** 2))
+    return jnp.mean(jax.nn.softplus(-scores_real)) + jnp.mean(jax.nn.softplus(scores_fake))
+
+
+def generator_loss(cfg: Config, g_params, d_params, am_params, batch,
+                   use_acoustic: bool, use_adv: bool,
+                   lam: float) -> tuple[jnp.ndarray, dict]:
+    """Unified G objective: the enhancer forward runs ONCE; the CTC and adversarial
+    terms are computed on its output as requested (SURVEY.md §3.2 — the reference
+    likewise reuses a single G forward per iteration for both losses and for the
+    detached D fake batch).
+
+    Returns aux containing `enh_log`/`enh_fl` (stop-gradient) so the D update can
+    reuse the same enhanced batch without a second G forward.
+    """
+    _, enh_log, fl = enhancer_forward(cfg, g_params, batch["wav"], batch["wav_lengths"])
+    loss = jnp.zeros((), jnp.float32)
+    aux: dict = {}
+
+    if use_acoustic:
+        am_in = masked_normalize(enh_log, fl)
+        frozen = jax.lax.stop_gradient(am_params)
+        logits, out_lengths = AcousticModel(cfg.am).apply(frozen, am_in, fl)
+        logit_paddings = 1.0 - time_mask(out_lengths, logits.shape[1])
+        l_ctc = ctc_loss_mean(logits, logit_paddings, batch["labels"],
+                              batch["label_paddings"])
+        loss = loss + l_ctc
+        aux["loss_ctc"] = l_ctc
+
+    if use_adv:
+        scores = Discriminator(cfg.discriminator).apply(d_params, enh_log, fl)
+        l_adv = gan_g_loss(cfg, scores)
+        loss = loss + (lam if use_acoustic else 1.0) * l_adv
+        aux["loss_adv_g"] = l_adv
+        aux["d_score_fake_g"] = jnp.mean(scores)
+
+    aux["loss_g"] = loss
+    aux["enh_log"] = jax.lax.stop_gradient(enh_log)
+    aux["enh_fl"] = fl
+    return loss, aux
+
+
+def discriminator_loss(cfg: Config, d_params, enh_log, enh_fl,
+                       clean_log, clean_fl) -> tuple[jnp.ndarray, dict]:
+    """D update: real = unpaired clean corpus, fake = stop-grad enhanced."""
+    disc = Discriminator(cfg.discriminator)
+    s_real = disc.apply(d_params, clean_log, clean_fl)
+    s_fake = disc.apply(d_params, jax.lax.stop_gradient(enh_log), enh_fl)
+    loss = gan_d_loss(cfg, s_real, s_fake)
+    return loss, {"loss_d": loss, "d_score_real": jnp.mean(s_real),
+                  "d_score_fake": jnp.mean(s_fake)}
+
+
+def am_pretrain_loss(cfg: Config, am_params, batch) -> tuple[jnp.ndarray, dict]:
+    """AM pre-training on (typically clean) speech (SURVEY.md §3.1)."""
+    _, log_mag, fl = device_features(cfg, batch["wav"], batch["wav_lengths"])
+    am_in = masked_normalize(log_mag, fl)
+    logits, out_lengths = AcousticModel(cfg.am).apply(am_params, am_in, fl)
+    logit_paddings = 1.0 - time_mask(out_lengths, logits.shape[1])
+    loss = ctc_loss_mean(logits, logit_paddings, batch["labels"],
+                         batch["label_paddings"])
+    return loss, {"loss_ctc_am": loss}

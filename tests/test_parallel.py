@@ -1,0 +1,83 @@
+"""Data-parallel correctness on the 8-virtual-CPU mesh (SURVEY.md §4 item 4):
+the pjit/mesh path must match the single-device run bitwise on CPU."""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from aas_enhancement_tpu.config import (AMConfig, Config, DataConfig,
+                                        DiscriminatorConfig, EnhancerConfig,
+                                        MeshConfig, TrainConfig)
+from aas_enhancement_tpu.parallel.mesh import (make_mesh, pad_batch_to_devices,
+                                               replicate_state, shard_batch)
+from aas_enhancement_tpu.train.loop import init_state
+from aas_enhancement_tpu.train.steps import make_train_step
+
+
+def _cfg(objective, n_devices):
+    return Config(
+        am=AMConfig(rnn_hidden=16, rnn_layers=1, conv_channels=8),
+        enhancer=EnhancerConfig(conv_channels=8, conv_layers=1,
+                                rnn_hidden=16, rnn_layers=1),
+        discriminator=DiscriminatorConfig(channels=(8, 16)),
+        train=TrainConfig(objective=objective, batch_size=8),
+        mesh=MeshConfig(num_devices=n_devices),
+    )
+
+
+def _batch(b=8, n=16000, seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "wav": rng.standard_normal((b, n)).astype(np.float32) * 0.1,
+        "wav_lengths": np.full((b,), n, np.int32),
+        "labels": rng.integers(1, 29, size=(b, 8)).astype(np.int32),
+        "label_paddings": np.zeros((b, 8), np.float32),
+        "clean_wav": rng.standard_normal((b, n)).astype(np.float32) * 0.1,
+        "clean_wav_lengths": np.full((b,), n, np.int32),
+    }
+
+
+def _run(objective, n_devices, steps=3):
+    cfg = _cfg(objective, n_devices)
+    mesh = make_mesh(cfg.mesh)
+    assert len(mesh.devices.ravel()) == n_devices
+    state = init_state(cfg, jax.random.key(0))
+    state = replicate_state(mesh, state)
+    step = jax.jit(make_train_step(cfg))
+    batch = pad_batch_to_devices(_batch(), n_devices)
+    auxes = []
+    with mesh:
+        sb = shard_batch(mesh, batch)
+        for _ in range(steps):
+            state, aux = step(state, sb)
+            auxes.append({k: float(v) for k, v in aux.items()})
+    return jax.device_get(state), auxes
+
+
+@pytest.mark.parametrize("objective", ["aas", "paired"])
+def test_8dev_matches_1dev(objective):
+    """Same batch, same init: 8-way data parallel tracks the single-device run.
+
+    Step 1 losses must match to reduction-order noise (same params, only the
+    cross-device gradient psum ordering differs); later steps run through Adam,
+    which amplifies that noise, so the trajectory tolerance is looser.  A sharding
+    bug (e.g. only one shard contributing) would blow past both immediately.
+    """
+    _, a1 = _run(objective, 1)
+    _, a8 = _run(objective, 8)
+    for k in a1[0]:
+        np.testing.assert_allclose(a1[0][k], a8[0][k], rtol=1e-4, atol=1e-5,
+                                   err_msg=f"step-1 metric {k} diverged")
+    for i in (1, 2):
+        for k in a1[i]:
+            np.testing.assert_allclose(a1[i][k], a8[i][k], rtol=2e-2, atol=1e-3,
+                                       err_msg=f"step-{i + 1} metric {k} diverged")
+
+
+def test_uneven_batch_padding():
+    b = _batch(b=5)
+    padded = pad_batch_to_devices(b, 8)
+    assert padded["wav"].shape[0] == 8
+    np.testing.assert_array_equal(padded["wav"][5], b["wav"][0])

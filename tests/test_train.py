@@ -1,0 +1,89 @@
+"""Integration: short overfit runs per objective on synthetic data
+(SURVEY.md §4 item 3 — loss-goes-down assertions, not WER)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from aas_enhancement_tpu.config import (AMConfig, Config, DataConfig,
+                                        DiscriminatorConfig, EnhancerConfig,
+                                        TrainConfig)
+from aas_enhancement_tpu.data.synthetic import generate_corpus
+from aas_enhancement_tpu.train.loop import train
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("corpus")
+    return generate_corpus(str(d), n_utts=8, seed=11, vocab_chars=6)
+
+
+def _tiny_cfg(objective, **train_kw):
+    return Config(
+        am=AMConfig(rnn_hidden=32, rnn_layers=1, conv_channels=8),
+        enhancer=EnhancerConfig(conv_channels=8, conv_layers=1,
+                                rnn_hidden=24, rnn_layers=1),
+        discriminator=DiscriminatorConfig(channels=(8, 16)),
+        train=TrainConfig(objective=objective, batch_size=4, epochs=100,
+                          log_every=1, lr_g=2e-3, lr_d=2e-3, lr_am=2e-3,
+                          **train_kw),
+        data=DataConfig(num_buckets=1),
+    )
+
+
+def _first_last(records, key, k=3):
+    vals = [r[key] for r in records if key in r]
+    assert len(vals) >= 6, f"too few records with {key}"
+    return float(np.mean(vals[:k])), float(np.mean(vals[-k:]))
+
+
+def test_paired_loss_decreases(corpus):
+    cfg = _tiny_cfg("paired")
+    _, recs = train(cfg, corpus["noisy"], corpus["clean"], paired=True, max_steps=16)
+    first, last = _first_last(recs, "loss_paired")
+    assert last < first, f"paired loss did not decrease: {first} -> {last}"
+
+
+def test_adversarial_losses_move(corpus):
+    cfg = _tiny_cfg("adversarial")
+    _, recs = train(cfg, corpus["noisy"], corpus["clean"], max_steps=16)
+    d_first, d_last = _first_last(recs, "loss_d")
+    assert d_last < d_first, f"D loss did not decrease: {d_first} -> {d_last}"
+    # G is being scored; its loss must stay finite and non-degenerate.
+    assert all(np.isfinite(r["loss_adv_g"]) for r in recs)
+
+
+def test_acoustic_ctc_decreases(corpus):
+    cfg = _tiny_cfg("acoustic")
+    _, recs = train(cfg, corpus["noisy"], max_steps=16)
+    first, last = _first_last(recs, "loss_ctc")
+    assert last < first, f"CTC loss did not decrease: {first} -> {last}"
+
+
+def test_aas_joint_decreases(corpus):
+    cfg = _tiny_cfg("aas", lambda_adv=0.5)
+    _, recs = train(cfg, corpus["noisy"], corpus["clean"], max_steps=16)
+    first, last = _first_last(recs, "loss_g")
+    assert last < first, f"joint G loss did not decrease: {first} -> {last}"
+    assert all(np.isfinite(r["loss_d"]) for r in recs)
+
+
+def test_am_pretrain_decreases(corpus):
+    cfg = _tiny_cfg("am")
+    _, recs = train(cfg, corpus["clean"], max_steps=16)
+    first, last = _first_last(recs, "loss_ctc_am")
+    assert last < first, f"AM CTC loss did not decrease: {first} -> {last}"
+
+
+def test_frozen_am_unchanged_during_acoustic(corpus):
+    """SURVEY.md §4 item 2: the frozen AM must not move during G training."""
+    import jax
+    cfg = _tiny_cfg("acoustic")
+    from aas_enhancement_tpu.train.loop import init_state
+    state0 = init_state(cfg, jax.random.key(0))
+    am_before = jax.device_get(state0.am_params)
+    state, _ = train(cfg, corpus["noisy"], max_steps=6, state=state0)
+    am_after = jax.device_get(state.am_params)
+    for a, b in zip(jax.tree.leaves(am_before), jax.tree.leaves(am_after)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
