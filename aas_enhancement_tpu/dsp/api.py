@@ -23,7 +23,12 @@ def _use_pallas(a: AudioConfig) -> bool:
             raise ValueError("stft_impl=pallas requires n_fft == 2*hop_length")
         return True
     # auto: fused kernels on TPU only (interpret-mode Pallas on CPU is slow).
-    return eligible and jax.default_backend() == "tpu"
+    # The axon tunnel registers the TPU backend under its own platform name, so
+    # check the device kind rather than the backend string.
+    if not eligible:
+        return False
+    dev = jax.devices()[0]
+    return "tpu" in (dev.platform + " " + getattr(dev, "device_kind", "")).lower()
 
 
 def stft(a: AudioConfig, x):

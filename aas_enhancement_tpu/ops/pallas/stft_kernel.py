@@ -47,22 +47,23 @@ def _dft_bases(n_fft: int) -> tuple[np.ndarray, np.ndarray]:
     return np.cos(ang).astype(np.float32), (-np.sin(ang)).astype(np.float32)
 
 
-def _stft_kernel(rows_ref, win_ref, wch_ref, wct_ref, wsh_ref, wst_ref,
-                 re_ref, im_ref, chunk, sem):
-    b = pl.program_id(0)
-    tc = pl.program_id(1)
-    copy = pltpu.make_async_copy(
-        rows_ref.at[b, pl.ds(tc * TILE_T, TILE_T + 1)], chunk, sem)
-    copy.start()
-    copy.wait()
+_DOT_KW = dict(preferred_element_type=jnp.float32,
+               precision=jax.lax.Precision.HIGHEST)
 
-    hop = chunk.shape[1]
-    heads = chunk[:-1, :] * win_ref[0, :hop][None, :]
-    tails = chunk[1:, :] * win_ref[0, hop:][None, :]
-    re_ref[0] = (jnp.dot(heads, wch_ref[:], preferred_element_type=jnp.float32)
-                 + jnp.dot(tails, wct_ref[:], preferred_element_type=jnp.float32))
-    im_ref[0] = (jnp.dot(heads, wsh_ref[:], preferred_element_type=jnp.float32)
-                 + jnp.dot(tails, wst_ref[:], preferred_element_type=jnp.float32))
+
+def _stft_kernel(heads_ref, tails_ref, win_ref, wch_ref, wct_ref, wsh_ref, wst_ref,
+                 re_ref, im_ref):
+    # Frame t = (row t, row t+1) of the hop-reshaped signal.  The caller passes
+    # the rows array twice, the second shifted by one row, so both stream through
+    # the standard Pallas pipeline as plain [TILE_T, hop] blocks (manual DMA of a
+    # 160-lane slice violates Mosaic's 128-lane slice alignment).
+    hop = heads_ref.shape[2]
+    heads = heads_ref[0] * win_ref[0, :hop][None, :]
+    tails = tails_ref[0] * win_ref[0, hop:][None, :]
+    re_ref[0] = (jnp.dot(heads, wch_ref[:], **_DOT_KW)
+                 + jnp.dot(tails, wct_ref[:], **_DOT_KW))
+    im_ref[0] = (jnp.dot(heads, wsh_ref[:], **_DOT_KW)
+                 + jnp.dot(tails, wst_ref[:], **_DOT_KW))
 
 
 @functools.partial(jax.jit, static_argnames=("n_fft", "hop_length", "window",
@@ -84,12 +85,13 @@ def stft_pallas(x: jnp.ndarray, n_fft: int, hop_length: int, window: str = "hann
     else:
         t = 1 + (n - n_fft) // hop
 
-    # Pad so every TILE_T-frame chunk can read TILE_T+1 hop-rows.
     t_padded = ((t + TILE_T - 1) // TILE_T) * TILE_T
-    need = (t_padded * hop + hop) - x.shape[1]
+    need = (t_padded + 1) * hop - x.shape[1]
     if need > 0:
         x = jnp.pad(x, ((0, 0), (0, need)))
-    rows = x[:, : t_padded * hop + hop].reshape(b, t_padded + 1, hop)
+    rows = x[:, : (t_padded + 1) * hop].reshape(b, t_padded + 1, hop)
+    heads_rows = rows[:, :t_padded]
+    tails_rows = rows[:, 1:]
 
     win = jnp.asarray(get_window(window, n_fft))[None, :]
     wc_np, ws_np = _dft_bases(n_fft)
@@ -102,7 +104,10 @@ def stft_pallas(x: jnp.ndarray, n_fft: int, hop_length: int, window: str = "hann
         _stft_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),                          # rows (HBM)
+            pl.BlockSpec((1, TILE_T, hop), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),                      # head rows
+            pl.BlockSpec((1, TILE_T, hop), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),                      # tail rows
             pl.BlockSpec((1, n_fft), const, memory_space=pltpu.VMEM),   # window
             pl.BlockSpec((hop, f), const, memory_space=pltpu.VMEM),     # cos head
             pl.BlockSpec((hop, f), const, memory_space=pltpu.VMEM),     # cos tail
@@ -119,12 +124,8 @@ def stft_pallas(x: jnp.ndarray, n_fft: int, hop_length: int, window: str = "hann
             jax.ShapeDtypeStruct((b, t_padded, f), jnp.float32),
             jax.ShapeDtypeStruct((b, t_padded, f), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((TILE_T + 1, hop), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
         interpret=interpret,
-    )(rows, win, wch, wct, wsh, wst)
+    )(heads_rows, tails_rows, win, wch, wct, wsh, wst)
 
     re, im = re[:, :t], im[:, :t]
     if squeeze:
@@ -138,18 +139,20 @@ def _istft_kernel(re_ref, im_ref, ich_ref, ish_ref, ict_ref, ist_ref, win_ref,
     re_t = re_ref[0]
     im_t = im_ref[0]
     hop = win_ref.shape[1] // 2
-    heads = (jnp.dot(re_t, ich_ref[:], preferred_element_type=jnp.float32)
-             + jnp.dot(im_t, ish_ref[:], preferred_element_type=jnp.float32))
-    tails = (jnp.dot(re_t, ict_ref[:], preferred_element_type=jnp.float32)
-             + jnp.dot(im_t, ist_ref[:], preferred_element_type=jnp.float32))
+    heads = (jnp.dot(re_t, ich_ref[:], **_DOT_KW)
+             + jnp.dot(im_t, ish_ref[:], **_DOT_KW))
+    tails = (jnp.dot(re_t, ict_ref[:], **_DOT_KW)
+             + jnp.dot(im_t, ist_ref[:], **_DOT_KW))
     heads = heads * win_ref[0, :hop][None, :]
     tails = tails * win_ref[0, hop:][None, :]
 
-    # Body rows r: heads[r] + tails[r-1]; seam = tails[TILE_T-1] for the next chunk.
-    shifted_tails = jnp.concatenate(
-        [jnp.zeros((1, hop), jnp.float32), tails[:-1]], axis=0)
-    body_ref[0] = heads + shifted_tails
-    seam_ref[0, 0] = tails[-1]
+    # Body rows r: heads[r] + tails[r-1].  Offset slicing is not tile-aligned,
+    # so shift via roll and zero row 0 with an iota mask; the rolled row 0
+    # (== tails[-1]) doubles as the seam carried to the next chunk.
+    shifted = pltpu.roll(tails, shift=1, axis=0)     # shifted[r] = tails[r-1]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (TILE_T, hop), 0)
+    body_ref[0] = heads + jnp.where(row_ids == 0, 0.0, shifted)
+    seam_ref[0] = shifted[:8]                         # row 0 real, rows 1-7 unused
 
 
 @functools.partial(jax.jit, static_argnames=("n_fft", "hop_length", "window",
@@ -203,15 +206,16 @@ def istft_pallas(re: jnp.ndarray, im: jnp.ndarray, n_fft: int, hop_length: int,
         out_specs=[
             pl.BlockSpec((1, TILE_T, hop), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, hop), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, 8, hop), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, t_padded, hop), jnp.float32),
-            jax.ShapeDtypeStruct((b, n_chunks, hop), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_chunks * 8, hop), jnp.float32),
         ],
         interpret=interpret,
     )(re, im, ich, ish, ict, ist, win)
+    seam = seam[:, ::8]                               # row 0 of each 8-row block
 
     chunk_len = TILE_T * hop
     total_len = t_padded * hop
