@@ -47,6 +47,7 @@ def main(argv=None) -> None:
     p.add_argument("--continue-from", dest="resume", action="store_true",
                    help="resume from the latest checkpoint in --checkpoint-dir")
     p.add_argument("--metrics", help="JSONL metrics path")
+    p.add_argument("--tensorboard", help="TensorBoard log dir (needs tensorflow)")
     args = p.parse_args(argv)
 
     from aas_enhancement_tpu.utils import jax_cache
@@ -94,6 +95,7 @@ def main(argv=None) -> None:
         paired=(args.objective == "paired"),
         max_steps=args.steps,
         metrics_path=args.metrics,
+        tensorboard_dir=args.tensorboard,
         checkpoint_dir=args.checkpoint_dir or None,
         resume=args.resume,
         state=state)

@@ -84,7 +84,9 @@ def ctc_loss(logits: jnp.ndarray, logit_paddings: jnp.ndarray,
         new = jnp.where(pad_t[:, None] > 0, alpha, new)
         return new, None
 
-    alpha_final, _ = jax.lax.scan(step, alpha0, (lp_seq[1:], pad_seq[1:]))
+    # unroll=8: the per-step work (a [B,S] gather + log-sum-exp) is tiny, so loop
+    # iteration overhead dominates an un-unrolled scan on TPU.
+    alpha_final, _ = jax.lax.scan(step, alpha0, (lp_seq[1:], pad_seq[1:]), unroll=8)
     # If T == 1, alpha0 is final.
     alpha_final = jnp.where(t > 1, alpha_final, alpha0)
 

@@ -4,17 +4,19 @@ The reference's hot inner loop is cuDNN BLSTM/BiGRU inside `BatchRNN` (sum of
 directions, packed sequences — SURVEY.md §3.5).  The TPU-native design:
 
 - **All input-side gate matmuls are hoisted out of the time loop** into one large
-  [B*T, D] x [D, G*H] matmul that saturates the MXU.
-- The `lax.scan` body then contains only the [B, H] x [H, G*H] recurrent matmul and
-  elementwise gate math (VPU), the minimal sequential work.
-- Padding is handled by a validity mask: the hidden state freezes at padded steps, so
-  a padded batch produces bit-identical valid-frame outputs to per-utterance runs
-  (SURVEY.md §4 masking/padding invariance test).
-- The backward direction runs the same scan on the time-reversed padded buffer;
-  because padded steps never update state, right-padding (which becomes left-padding
-  after the flip) leaves the carry at its initial zeros until real frames begin.
+  [B*T, D] x [D, 2*G*H] matmul (both directions at once) that saturates the MXU.
+- **Both directions run in ONE `lax.scan`**: the carry is stacked [2, B, H] and the
+  recurrent matmul is a batched dot ([2,B,H] x [2,H,G*H]), so each layer costs one
+  sequential loop instead of two and the per-step matmul is twice as large — both
+  wins on TPU, where scan iteration overhead and small matmuls are the enemies.
+- The backward direction consumes the time-flipped gate sequence; because padded
+  steps never update the carry (validity mask), right-padding (left-padding after
+  the flip) leaves the backward state at zeros until real frames begin.
+- `unroll` trades compile time for fewer loop iterations (default 4).
 
 Directions are summed, matching the reference's BatchRNN sum-of-directions.
+Padding contract: outputs at padded steps are zero and valid-step outputs are
+bit-identical to an unpadded per-utterance run (tests/test_rnn.py).
 """
 
 from __future__ import annotations
@@ -26,84 +28,74 @@ import jax.numpy as jnp
 from aas_enhancement_tpu.ops.masking import time_mask
 
 
-def _scan_rnn(cell_step, gates_x: jnp.ndarray, mask: jnp.ndarray, carry_init):
-    """Run cell_step over time.  gates_x: [B, T, G*H], mask: [B, T]."""
-    gx = jnp.swapaxes(gates_x, 0, 1)          # [T, B, G*H]
-    m = jnp.swapaxes(mask, 0, 1)[..., None]   # [T, B, 1]
-
-    def step(carry, inp):
-        gx_t, m_t = inp
-        new_carry, out = cell_step(carry, gx_t)
-        # Freeze state at padded steps.
-        new_carry = jax.tree.map(lambda n, o: m_t * n + (1.0 - m_t) * o,
-                                 new_carry, carry)
-        return new_carry, out * m_t
-
-    _, ys = jax.lax.scan(step, carry_init, (gx, m))
-    return jnp.swapaxes(ys, 0, 1)             # [B, T, H]
-
-
-class _RNNDirection(nn.Module):
-    """One direction of a GRU/LSTM over a padded batch."""
+class BiRNN(nn.Module):
+    """Bidirectional GRU/LSTM, sum of directions (reference BatchRNN parity,
+    SURVEY.md §2 "DeepSpeech2-style acoustic model")."""
 
     hidden: int
     cell: str = "gru"            # "gru" | "lstm"
     dtype: jnp.dtype = jnp.float32
+    unroll: int = 4
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-        b = x.shape[0]
+    def __call__(self, x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+        b, t, _ = x.shape
         h = self.hidden
-        n_gates = 3 if self.cell == "gru" else 4
+        g = 3 if self.cell == "gru" else 4
+        dtype = self.dtype
+        x = x.astype(dtype)
 
-        # Hoisted input projection: one big MXU matmul over [B*T, D].
-        gates_x = nn.Dense(n_gates * h, dtype=self.dtype, name="wx")(x)
+        # One hoisted MXU matmul for both directions' input gates.
+        gates = nn.Dense(2 * g * h, dtype=dtype, name="wx")(x)       # [B,T,2GH]
+        gates = gates.reshape(b, t, 2, g * h)
         w_h = self.param("wh", nn.initializers.orthogonal(),
-                         (h, n_gates * h), jnp.float32).astype(self.dtype)
+                         (2, h, g * h), jnp.float32).astype(dtype)
         b_h = self.param("bh", nn.initializers.zeros,
-                         (n_gates * h,), jnp.float32).astype(self.dtype)
+                         (2, g * h), jnp.float32).astype(dtype)
+
+        mask = time_mask(lengths, t, dtype)                          # [B,T]
+        # Per-step stacked inputs: dir 0 forward order, dir 1 time-flipped.
+        gx = jnp.stack([gates[:, :, 0], jnp.flip(gates[:, :, 1], axis=1)], axis=0)
+        gx = jnp.moveaxis(gx, 2, 0)                                  # [T,2,B,GH]
+        m = jnp.stack([mask, jnp.flip(mask, axis=1)], axis=0)        # [2,B,T]
+        m = jnp.moveaxis(m, 2, 0)[..., None]                         # [T,2,B,1]
+
+        def rec_matmul(hs):                                          # [2,B,H]
+            return jax.lax.dot_general(
+                hs, w_h, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=dtype) + b_h[:, None, :]
 
         if self.cell == "gru":
-            def step(carry, gx_t):
+            def step(carry, inp):
+                gx_t, m_t = inp
                 h_prev = carry
-                gh = h_prev @ w_h + b_h
+                gh = rec_matmul(h_prev)
                 xr, xz, xn = jnp.split(gx_t, 3, axis=-1)
                 hr, hz, hn = jnp.split(gh, 3, axis=-1)
                 r = jax.nn.sigmoid(xr + hr)
                 z = jax.nn.sigmoid(xz + hz)
                 n = jnp.tanh(xn + r * hn)
                 h_new = (1.0 - z) * n + z * h_prev
-                return h_new, h_new
+                h_new = m_t * h_new + (1.0 - m_t) * h_prev
+                return h_new, h_new * m_t
 
-            carry0 = jnp.zeros((b, h), self.dtype)
+            carry0 = jnp.zeros((2, b, h), dtype)
         else:  # lstm
-            def step(carry, gx_t):
+            def step(carry, inp):
+                gx_t, m_t = inp
                 h_prev, c_prev = carry
-                g = gx_t + h_prev @ w_h + b_h
-                i, f, gc, o = jnp.split(g, 4, axis=-1)
+                gg = gx_t + rec_matmul(h_prev)
+                i, f, gc, o = jnp.split(gg, 4, axis=-1)
                 c_new = jax.nn.sigmoid(f + 1.0) * c_prev + jax.nn.sigmoid(i) * jnp.tanh(gc)
                 h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
-                return (h_new, c_new), h_new
+                h_new = m_t * h_new + (1.0 - m_t) * h_prev
+                c_new = m_t * c_new + (1.0 - m_t) * c_prev
+                return (h_new, c_new), h_new * m_t
 
-            carry0 = (jnp.zeros((b, h), self.dtype), jnp.zeros((b, h), self.dtype))
+            carry0 = (jnp.zeros((2, b, h), dtype), jnp.zeros((2, b, h), dtype))
 
-        return _scan_rnn(step, gates_x, mask.astype(self.dtype), carry0)
-
-
-class BiRNN(nn.Module):
-    """Bidirectional GRU/LSTM, sum of directions (reference BatchRNN parity,
-    SURVEY.md §2 "DeepSpeech2-style acoustic model")."""
-
-    hidden: int
-    cell: str = "gru"
-    dtype: jnp.dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
-        mask = time_mask(lengths, x.shape[1], x.dtype)
-        fwd = _RNNDirection(self.hidden, self.cell, self.dtype, name="fwd")(x, mask)
-        x_rev = jnp.flip(x, axis=1)
-        mask_rev = jnp.flip(mask, axis=1)
-        bwd = _RNNDirection(self.hidden, self.cell, self.dtype, name="bwd")(x_rev, mask_rev)
-        bwd = jnp.flip(bwd, axis=1)
+        _, ys = jax.lax.scan(step, carry0, (gx, m), unroll=self.unroll)
+        # ys: [T,2,B,H] -> fwd [B,T,H] + time-flipped bwd.
+        fwd = jnp.moveaxis(ys[:, 0], 0, 1)
+        bwd = jnp.flip(jnp.moveaxis(ys[:, 1], 0, 1), axis=1)
         return fwd + bwd

@@ -100,6 +100,7 @@ def _batch_dict(cfg: Config, batch, clean_stream: UnpairedCleanStream | None):
 def train(cfg: Config, noisy_manifest: str, clean_manifest: str | None = None,
           paired: bool = False, max_steps: int = 0,
           metrics_path: str | None = None,
+          tensorboard_dir: str | None = None,
           checkpoint_dir: str | None = None,
           resume: bool = False,
           state: TrainState | None = None,
@@ -130,7 +131,7 @@ def train(cfg: Config, noisy_manifest: str, clean_manifest: str | None = None,
     step = step_fn or make_train_step(cfg)
     step = jax.jit(step, donate_argnums=(0,))
 
-    logger = MetricsLogger(metrics_path)
+    logger = MetricsLogger(metrics_path, tensorboard_dir=tensorboard_dir)
     records = []
     t_last = time.perf_counter()
     done = False

@@ -14,13 +14,26 @@ import time
 
 
 class MetricsLogger:
-    def __init__(self, path: str | None = None, echo: bool = True):
+    """JSONL metrics with optional TensorBoard mirroring (reference had stdout +
+    TensorBoard/visdom scalars; tensorboard_dir activates tf.summary if TF is
+    importable, and degrades silently otherwise)."""
+
+    def __init__(self, path: str | None = None, echo: bool = True,
+                 tensorboard_dir: str | None = None):
         self.path = path
         self.echo = echo
         self._f = None
+        self._tb = None
         if path:
             os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
             self._f = open(path, "a", buffering=1)
+        if tensorboard_dir:
+            try:
+                import tensorflow as tf  # noqa: PLC0415
+                self._tb = tf.summary.create_file_writer(tensorboard_dir)
+            except ImportError:
+                print("tensorboard_dir given but tensorflow not importable; "
+                      "JSONL only", file=sys.stderr)
         self._t0 = time.time()
 
     def log(self, step: int, **metrics) -> None:
@@ -35,7 +48,15 @@ class MetricsLogger:
             self._f.write(line + "\n")
         if self.echo:
             print(line, file=sys.stderr)
+        if self._tb is not None:
+            import tensorflow as tf  # noqa: PLC0415
+            with self._tb.as_default():
+                for k, v in rec.items():
+                    if k not in ("step", "t") and isinstance(v, (int, float)):
+                        tf.summary.scalar(k, v, step=int(step))
 
     def close(self) -> None:
         if self._f:
             self._f.close()
+        if self._tb is not None:
+            self._tb.close()
