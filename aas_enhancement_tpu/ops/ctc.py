@@ -62,14 +62,18 @@ def ctc_loss(logits: jnp.ndarray, logit_paddings: jnp.ndarray,
     z_prev2 = _shift_right(z.astype(jnp.float32), fill=-1.0, n=2).astype(jnp.int32)
     can_skip = (z != blank_id) & (z != z_prev2) & (pos >= 2)
 
+    # Per-step log-probs of the extended labels.  A take_along_axis gather on the
+    # minor dimension lowers to a pathological per-element loop on TPU (~8x the
+    # whole loss); a one-hot batched matmul runs on the MXU instead.
+    z_onehot = jax.nn.one_hot(z, v, dtype=jnp.float32)                    # [B, S, V]
+    lp_seq = jnp.einsum("btv,bsv->bts", log_probs, z_onehot)              # [B, T, S]
+
     # alpha_0: only s=0 (blank) and s=1 (first label) are reachable.
-    lp0 = jnp.take_along_axis(log_probs[:, 0, :], z, axis=1)              # [B, S]
+    lp0 = lp_seq[:, 0, :]                                                 # [B, S]
     alpha0 = jnp.where(pos == 0, lp0, _NEG_INF)
     alpha0 = jnp.where((pos == 1) & (s_valid[:, None] > 1), lp0, alpha0)
     alpha0 = jnp.where(z_mask, alpha0, _NEG_INF)
 
-    lp_seq = jnp.take_along_axis(
-        log_probs, z[:, None, :].repeat(t, axis=1), axis=2)               # [B, T, S]
     lp_seq = jnp.swapaxes(lp_seq, 0, 1)                                   # [T, B, S]
     pad_seq = jnp.swapaxes(logit_paddings.astype(jnp.float32), 0, 1)      # [T, B]
 

@@ -1,0 +1,454 @@
+"""Fused Pallas LSTM/GRU recurrences with custom VJP.
+
+The recurrent time loop is the framework's hot loop (SURVEY.md §3.5, §7 "BLSTM
+throughput on TPU is where the target is won or lost").  XLA's `lax.scan` pays
+~tens of microseconds of loop machinery per step around a sub-microsecond matmul.
+These kernels run the whole recurrence inside ONE Pallas program:
+
+- **Sequential grid** over time chunks; the recurrent state lives in VMEM scratch
+  and persists across grid steps; weights stay resident in VMEM for the whole scan.
+- Both directions advance together (stacked [2, B, H] state, two MXU dots per
+  step), exactly like ops/rnn.py's fused scan.
+- **Custom VJP**: the forward saves per-step PRE-update states; the backward kernel
+  walks the grid in reverse, recomputes gate activations (one extra matmul -- the
+  standard memory/compute trade) and emits per-step gate gradients.  The weight
+  gradients dWh/dbh are then ONE large einsum over (saved states x gate grads)
+  outside the kernel -- that is pure MXU work XLA already does optimally, and
+  keeping the f32 [2,H,G*H] accumulator out of VMEM is what lets the time chunk
+  stay large (the first version OOM'd scoped VMEM at 30 MB).
+- The time chunk is picked per call from a VMEM budget (double-buffered streams +
+  resident weights <= ~11 MB of the 16 MB/core).
+
+Semantics match ops/rnn.py's masked scans (tests/test_pallas_rnn.py, values + VJP):
+state frozen where mask==0, y[t] = mask * h_new.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_VMEM_BUDGET = 11 * 1024 * 1024
+
+
+def _sig(x):
+    return jax.nn.sigmoid(x)
+
+
+def _pick_chunk(b: int, h: int, gdim: int, itemsize: int, n_state_streams: int,
+                n_gate_streams: int) -> int:
+    """Largest chunk whose double-buffered streams + resident weights fit VMEM."""
+    fixed = 2 * h * gdim * 4 + 2 * gdim * 4                 # wh + bh (f32)
+    per_t = 2 * (n_gate_streams * 2 * b * gdim * itemsize   # gx/dgx/dgh streams
+                 + n_state_streams * 2 * b * h * 4)         # states/dy (f32)
+    for ct in (32, 16, 8, 4, 2, 1):
+        if fixed + ct * per_t <= _VMEM_BUDGET:
+            return ct
+    return 1
+
+
+def _pad_t(x, ct):
+    pad = (-x.shape[0]) % ct
+    if pad:
+        x = jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+    return x
+
+
+def _seq_params():
+    return pltpu.CompilerParams(dimension_semantics=("arbitrary",))
+
+
+# ---------------------------------------------------------------------------
+# LSTM
+# ---------------------------------------------------------------------------
+
+def _lstm_fwd_kernel(gx_ref, m_ref, wh_ref, bh_ref,
+                     y_ref, hprev_ref, cprev_ref, h_st, c_st):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        h_st[:] = jnp.zeros_like(h_st)
+        c_st[:] = jnp.zeros_like(c_st)
+
+    ct = gx_ref.shape[0]
+    hdim = h_st.shape[2]
+
+    def step(j, _):
+        h = h_st[:]
+        c = c_st[:]
+        hprev_ref[j] = h
+        cprev_ref[j] = c
+        gx_t = gx_ref[j].astype(jnp.float32)
+        m_t = m_ref[j][..., None].astype(jnp.float32)
+        g0 = jnp.dot(h[0], wh_ref[0], preferred_element_type=jnp.float32)
+        g1 = jnp.dot(h[1], wh_ref[1], preferred_element_type=jnp.float32)
+        g = gx_t + jnp.stack([g0, g1], axis=0) + bh_ref[:][:, None, :]
+        i, f, gc, o = (g[..., :hdim], g[..., hdim:2 * hdim],
+                       g[..., 2 * hdim:3 * hdim], g[..., 3 * hdim:])
+        c_new = _sig(f + 1.0) * c + _sig(i) * jnp.tanh(gc)
+        h_new = _sig(o) * jnp.tanh(c_new)
+        y_ref[j] = (m_t * h_new).astype(y_ref.dtype)
+        h_st[:] = m_t * h_new + (1.0 - m_t) * h
+        c_st[:] = m_t * c_new + (1.0 - m_t) * c
+        return 0
+
+    jax.lax.fori_loop(0, ct, step, 0, unroll=ct)
+
+
+def _lstm_bwd_kernel(gx_ref, m_ref, wh_ref, bh_ref, hprev_ref, cprev_ref, dy_ref,
+                     dgx_ref, dh_st, dc_st):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dh_st[:] = jnp.zeros_like(dh_st)
+        dc_st[:] = jnp.zeros_like(dc_st)
+
+    ct = gx_ref.shape[0]
+    hdim = dh_st.shape[2]
+
+    def step(jj, _):
+        j = ct - 1 - jj
+        h_prev = hprev_ref[j]
+        c_prev = cprev_ref[j]
+        gx_t = gx_ref[j].astype(jnp.float32)
+        m_t = m_ref[j][..., None].astype(jnp.float32)
+        dy_t = dy_ref[j].astype(jnp.float32)
+
+        # Recompute gates (one extra matmul instead of saving activations).
+        g0 = jnp.dot(h_prev[0], wh_ref[0], preferred_element_type=jnp.float32)
+        g1 = jnp.dot(h_prev[1], wh_ref[1], preferred_element_type=jnp.float32)
+        g = gx_t + jnp.stack([g0, g1], axis=0) + bh_ref[:][:, None, :]
+        si = _sig(g[..., :hdim])
+        sf = _sig(g[..., hdim:2 * hdim] + 1.0)
+        tg = jnp.tanh(g[..., 2 * hdim:3 * hdim])
+        so = _sig(g[..., 3 * hdim:])
+        tc = jnp.tanh(sf * c_prev + si * tg)
+
+        dh_t = dh_st[:]
+        dc_t = dc_st[:]
+        dh_upd = m_t * (dh_t + dy_t)
+        dc_upd = m_t * dc_t
+        dh_keep = (1.0 - m_t) * dh_t
+        dc_keep = (1.0 - m_t) * dc_t
+
+        do = dh_upd * tc * so * (1.0 - so)
+        dc_new = dh_upd * so * (1.0 - tc * tc) + dc_upd
+        df = dc_new * c_prev * sf * (1.0 - sf)
+        di = dc_new * tg * si * (1.0 - si)
+        dgc = dc_new * si * (1.0 - tg * tg)
+        dc_prev = dc_new * sf + dc_keep
+
+        dg = jnp.concatenate([di, df, dgc, do], axis=-1)
+        dgx_ref[j] = dg.astype(dgx_ref.dtype)
+
+        dh0 = jnp.dot(dg[0], wh_ref[0].T, preferred_element_type=jnp.float32)
+        dh1 = jnp.dot(dg[1], wh_ref[1].T, preferred_element_type=jnp.float32)
+        dh_st[:] = jnp.stack([dh0, dh1], axis=0) + dh_keep
+        dc_st[:] = dc_prev
+        return 0
+
+    jax.lax.fori_loop(0, ct, step, 0, unroll=ct)
+
+
+def _lstm_fwd_call(gx, m, wh, bh, interpret):
+    t = gx.shape[0]
+    b, gh4 = gx.shape[2], gx.shape[3]
+    h = gh4 // 4
+    ct = _pick_chunk(b, h, gh4, jnp.dtype(gx.dtype).itemsize,
+                     n_state_streams=3, n_gate_streams=1)
+    gx_p, m_p = _pad_t(gx, ct), _pad_t(m.astype(jnp.float32), ct)
+    tp = gx_p.shape[0]
+
+    y, hprev, cprev = pl.pallas_call(
+        _lstm_fwd_kernel,
+        grid=(tp // ct,),
+        in_specs=[
+            pl.BlockSpec((ct, 2, b, gh4), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ct, 2, b), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, h, gh4), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, gh4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((ct, 2, b, h), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ct, 2, b, h), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ct, 2, b, h), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((tp, 2, b, h), gx.dtype),
+            jax.ShapeDtypeStruct((tp, 2, b, h), jnp.float32),
+            jax.ShapeDtypeStruct((tp, 2, b, h), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, b, h), jnp.float32),
+            pltpu.VMEM((2, b, h), jnp.float32),
+        ],
+        compiler_params=_seq_params(),
+        interpret=interpret,
+    )(gx_p, m_p, wh.astype(jnp.float32), bh.astype(jnp.float32))
+    return y[:t], hprev, cprev
+
+
+def _lstm_bwd_call(gx, m, wh, bh, hprev, cprev, dy, interpret):
+    t = gx.shape[0]
+    b, gh4 = gx.shape[2], gx.shape[3]
+    h = gh4 // 4
+    ct = _pick_chunk(b, h, gh4, jnp.dtype(gx.dtype).itemsize,
+                     n_state_streams=3, n_gate_streams=2)
+    gx_p, m_p, dy_p = (_pad_t(gx, ct), _pad_t(m.astype(jnp.float32), ct),
+                       _pad_t(dy, ct))
+    tp = gx_p.shape[0]
+    hprev_p, cprev_p = _pad_t(hprev, ct)[:tp], _pad_t(cprev, ct)[:tp]
+    nc = tp // ct
+    rev4 = lambda i: (nc - 1 - i, 0, 0, 0)  # noqa: E731
+    rev3 = lambda i: (nc - 1 - i, 0, 0)     # noqa: E731
+
+    dgx = pl.pallas_call(
+        _lstm_bwd_kernel,
+        grid=(nc,),
+        in_specs=[
+            pl.BlockSpec((ct, 2, b, gh4), rev4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ct, 2, b), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, h, gh4), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, gh4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ct, 2, b, h), rev4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ct, 2, b, h), rev4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ct, 2, b, h), rev4, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((ct, 2, b, gh4), rev4, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((tp, 2, b, gh4), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, b, h), jnp.float32),
+            pltpu.VMEM((2, b, h), jnp.float32),
+        ],
+        compiler_params=_seq_params(),
+        interpret=interpret,
+    )(gx_p, m_p, wh.astype(jnp.float32), bh.astype(jnp.float32),
+      hprev_p, cprev_p, dy_p)
+    dgx = dgx[:t]
+
+    # Weight grads: one large einsum over saved states x gate grads (MXU, outside
+    # the kernel -- keeps the f32 accumulator out of scoped VMEM).
+    dwh = jnp.einsum("tdbh,tdbg->dhg", hprev[:t], dgx)
+    dbh = jnp.sum(dgx, axis=(0, 2))
+    return dgx.astype(gx.dtype), dwh, dbh
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def lstm_scan_pallas(gx: jnp.ndarray, m: jnp.ndarray, wh: jnp.ndarray,
+                     bh: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """Fused bidirectional LSTM recurrence.
+
+    gx: [T, 2, B, 4H] precomputed input gates (dir 1 already time-flipped);
+    m: [T, 2, B] validity mask;  wh: [2, H, 4H];  bh: [2, 4H]
+    -> y: [T, 2, B, H] masked hidden outputs.
+    """
+    y, _, _ = _lstm_fwd_call(gx, m, wh, bh, interpret)
+    return y
+
+
+def _lstm_vjp_fwd(gx, m, wh, bh, interpret):
+    y, hprev, cprev = _lstm_fwd_call(gx, m, wh, bh, interpret)
+    return y, (gx, m, wh, bh, hprev, cprev)
+
+
+def _lstm_vjp_bwd(interpret, res, dy):
+    gx, m, wh, bh, hprev, cprev = res
+    dgx, dwh, dbh = _lstm_bwd_call(gx, m, wh, bh, hprev, cprev, dy, interpret)
+    return dgx, jnp.zeros_like(m), dwh.astype(wh.dtype), dbh.astype(bh.dtype)
+
+
+lstm_scan_pallas.defvjp(_lstm_vjp_fwd, _lstm_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# GRU (the acoustic model's default cell)
+# ---------------------------------------------------------------------------
+
+def _gru_fwd_kernel(gx_ref, m_ref, wh_ref, bh_ref, y_ref, hprev_ref, h_st):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        h_st[:] = jnp.zeros_like(h_st)
+
+    ct = gx_ref.shape[0]
+    hdim = h_st.shape[2]
+
+    def step(j, _):
+        h = h_st[:]
+        hprev_ref[j] = h
+        gx_t = gx_ref[j].astype(jnp.float32)
+        m_t = m_ref[j][..., None].astype(jnp.float32)
+        gh0 = jnp.dot(h[0], wh_ref[0], preferred_element_type=jnp.float32)
+        gh1 = jnp.dot(h[1], wh_ref[1], preferred_element_type=jnp.float32)
+        gh = jnp.stack([gh0, gh1], axis=0) + bh_ref[:][:, None, :]
+        xr, xz, xn = (gx_t[..., :hdim], gx_t[..., hdim:2 * hdim],
+                      gx_t[..., 2 * hdim:])
+        hr, hz, hn = (gh[..., :hdim], gh[..., hdim:2 * hdim], gh[..., 2 * hdim:])
+        r = _sig(xr + hr)
+        z = _sig(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+        h_new = (1.0 - z) * n + z * h
+        y_ref[j] = (m_t * h_new).astype(y_ref.dtype)
+        h_st[:] = m_t * h_new + (1.0 - m_t) * h
+        return 0
+
+    jax.lax.fori_loop(0, ct, step, 0, unroll=ct)
+
+
+def _gru_bwd_kernel(gx_ref, m_ref, wh_ref, bh_ref, hprev_ref, dy_ref,
+                    dgx_ref, dgh_ref, dh_st):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dh_st[:] = jnp.zeros_like(dh_st)
+
+    ct = gx_ref.shape[0]
+    hdim = dh_st.shape[2]
+
+    def step(jj, _):
+        j = ct - 1 - jj
+        h_prev = hprev_ref[j]
+        gx_t = gx_ref[j].astype(jnp.float32)
+        m_t = m_ref[j][..., None].astype(jnp.float32)
+        dy_t = dy_ref[j].astype(jnp.float32)
+
+        gh0 = jnp.dot(h_prev[0], wh_ref[0], preferred_element_type=jnp.float32)
+        gh1 = jnp.dot(h_prev[1], wh_ref[1], preferred_element_type=jnp.float32)
+        gh = jnp.stack([gh0, gh1], axis=0) + bh_ref[:][:, None, :]
+        xr, xz, xn = (gx_t[..., :hdim], gx_t[..., hdim:2 * hdim],
+                      gx_t[..., 2 * hdim:])
+        hr, hz, hn = (gh[..., :hdim], gh[..., hdim:2 * hdim], gh[..., 2 * hdim:])
+        r = _sig(xr + hr)
+        z = _sig(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+
+        dh_t = dh_st[:]
+        dh_upd = m_t * (dh_t + dy_t)
+        dh_keep = (1.0 - m_t) * dh_t
+
+        dz_pre = dh_upd * (h_prev - n) * z * (1.0 - z)
+        dn_pre = dh_upd * (1.0 - z) * (1.0 - n * n)
+        dr_pre = dn_pre * hn * r * (1.0 - r)
+        dhn = dn_pre * r
+
+        dgx = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=-1)
+        dgh = jnp.concatenate([dr_pre, dz_pre, dhn], axis=-1)
+        dgx_ref[j] = dgx.astype(dgx_ref.dtype)
+        dgh_ref[j] = dgh.astype(dgh_ref.dtype)
+
+        dh0 = jnp.dot(dgh[0], wh_ref[0].T, preferred_element_type=jnp.float32)
+        dh1 = jnp.dot(dgh[1], wh_ref[1].T, preferred_element_type=jnp.float32)
+        dh_st[:] = jnp.stack([dh0, dh1], axis=0) + dh_upd * z + dh_keep
+        return 0
+
+    jax.lax.fori_loop(0, ct, step, 0, unroll=ct)
+
+
+def _gru_fwd_call(gx, m, wh, bh, interpret):
+    t = gx.shape[0]
+    b, gh3 = gx.shape[2], gx.shape[3]
+    h = gh3 // 3
+    ct = _pick_chunk(b, h, gh3, jnp.dtype(gx.dtype).itemsize,
+                     n_state_streams=2, n_gate_streams=1)
+    gx_p, m_p = _pad_t(gx, ct), _pad_t(m.astype(jnp.float32), ct)
+    tp = gx_p.shape[0]
+
+    y, hprev = pl.pallas_call(
+        _gru_fwd_kernel,
+        grid=(tp // ct,),
+        in_specs=[
+            pl.BlockSpec((ct, 2, b, gh3), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ct, 2, b), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, h, gh3), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, gh3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((ct, 2, b, h), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ct, 2, b, h), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((tp, 2, b, h), gx.dtype),
+            jax.ShapeDtypeStruct((tp, 2, b, h), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((2, b, h), jnp.float32)],
+        compiler_params=_seq_params(),
+        interpret=interpret,
+    )(gx_p, m_p, wh.astype(jnp.float32), bh.astype(jnp.float32))
+    return y[:t], hprev
+
+
+def _gru_bwd_call(gx, m, wh, bh, hprev, dy, interpret):
+    t = gx.shape[0]
+    b, gh3 = gx.shape[2], gx.shape[3]
+    h = gh3 // 3
+    ct = _pick_chunk(b, h, gh3, jnp.dtype(gx.dtype).itemsize,
+                     n_state_streams=2, n_gate_streams=3)
+    gx_p, m_p, dy_p = (_pad_t(gx, ct), _pad_t(m.astype(jnp.float32), ct),
+                       _pad_t(dy, ct))
+    tp = gx_p.shape[0]
+    hprev_p = _pad_t(hprev, ct)[:tp]
+    nc = tp // ct
+    rev4 = lambda i: (nc - 1 - i, 0, 0, 0)  # noqa: E731
+    rev3 = lambda i: (nc - 1 - i, 0, 0)     # noqa: E731
+
+    dgx, dgh = pl.pallas_call(
+        _gru_bwd_kernel,
+        grid=(nc,),
+        in_specs=[
+            pl.BlockSpec((ct, 2, b, gh3), rev4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ct, 2, b), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, h, gh3), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, gh3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ct, 2, b, h), rev4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ct, 2, b, h), rev4, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((ct, 2, b, gh3), rev4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ct, 2, b, gh3), rev4, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((tp, 2, b, gh3), jnp.float32),
+            jax.ShapeDtypeStruct((tp, 2, b, gh3), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((2, b, h), jnp.float32)],
+        compiler_params=_seq_params(),
+        interpret=interpret,
+    )(gx_p, m_p, wh.astype(jnp.float32), bh.astype(jnp.float32), hprev_p, dy_p)
+    dgx, dgh = dgx[:t], dgh[:t]
+
+    dwh = jnp.einsum("tdbh,tdbg->dhg", hprev[:t], dgh)
+    dbh = jnp.sum(dgh, axis=(0, 2))
+    return dgx.astype(gx.dtype), dwh, dbh
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def gru_scan_pallas(gx: jnp.ndarray, m: jnp.ndarray, wh: jnp.ndarray,
+                    bh: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """Fused bidirectional GRU recurrence.
+
+    gx: [T, 2, B, 3H];  m: [T, 2, B];  wh: [2, H, 3H];  bh: [2, 3H]
+    -> y: [T, 2, B, H] masked hidden outputs.
+    """
+    y, _ = _gru_fwd_call(gx, m, wh, bh, interpret)
+    return y
+
+
+def _gru_vjp_fwd(gx, m, wh, bh, interpret):
+    y, hprev = _gru_fwd_call(gx, m, wh, bh, interpret)
+    return y, (gx, m, wh, bh, hprev)
+
+
+def _gru_vjp_bwd(interpret, res, dy):
+    gx, m, wh, bh, hprev = res
+    dgx, dwh, dbh = _gru_bwd_call(gx, m, wh, bh, hprev, dy, interpret)
+    return dgx, jnp.zeros_like(m), dwh.astype(wh.dtype), dbh.astype(bh.dtype)
+
+
+gru_scan_pallas.defvjp(_gru_vjp_fwd, _gru_vjp_bwd)

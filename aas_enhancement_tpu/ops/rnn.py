@@ -28,14 +28,24 @@ import jax.numpy as jnp
 from aas_enhancement_tpu.ops.masking import time_mask
 
 
+def _on_tpu() -> bool:
+    dev = jax.devices()[0]
+    return "tpu" in (dev.platform + " " + getattr(dev, "device_kind", "")).lower()
+
+
 class BiRNN(nn.Module):
     """Bidirectional GRU/LSTM, sum of directions (reference BatchRNN parity,
-    SURVEY.md §2 "DeepSpeech2-style acoustic model")."""
+    SURVEY.md §2 "DeepSpeech2-style acoustic model").
+
+    impl: "auto" uses the fused Pallas recurrence kernels (ops/pallas/rnn_kernel)
+    on TPU and the lax.scan path elsewhere; "xla"/"pallas" force a path.
+    """
 
     hidden: int
     cell: str = "gru"            # "gru" | "lstm"
     dtype: jnp.dtype = jnp.float32
     unroll: int = 4
+    impl: str = "auto"           # "auto" | "xla" | "pallas"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
@@ -59,6 +69,20 @@ class BiRNN(nn.Module):
         gx = jnp.moveaxis(gx, 2, 0)                                  # [T,2,B,GH]
         m = jnp.stack([mask, jnp.flip(mask, axis=1)], axis=0)        # [2,B,T]
         m = jnp.moveaxis(m, 2, 0)[..., None]                         # [T,2,B,1]
+
+        use_pallas = self.impl == "pallas" or (self.impl == "auto" and _on_tpu())
+        if use_pallas:
+            from aas_enhancement_tpu.ops.pallas.rnn_kernel import (
+                gru_scan_pallas, lstm_scan_pallas)
+            w_h32 = w_h.astype(jnp.float32)
+            b_h32 = b_h.astype(jnp.float32)
+            if self.cell == "gru":
+                ys = gru_scan_pallas(gx, m[..., 0], w_h32, b_h32)
+            else:
+                ys = lstm_scan_pallas(gx, m[..., 0], w_h32, b_h32)
+            fwd = jnp.moveaxis(ys[:, 0], 0, 1)
+            bwd = jnp.flip(jnp.moveaxis(ys[:, 1], 0, 1), axis=1)
+            return (fwd + bwd).astype(dtype)
 
         def rec_matmul(hs):                                          # [2,B,H]
             return jax.lax.dot_general(
