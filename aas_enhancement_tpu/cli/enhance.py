@@ -43,6 +43,11 @@ def main(argv=None) -> None:
     p.add_argument("--checkpoint", help="checkpoint dir (omit for random init)")
     p.add_argument("--config", help="config JSON (defaults used if omitted)")
     p.add_argument("--mode", choices=["mask", "mapping"], default=None)
+    p.add_argument("--streaming", action="store_true",
+                   help="chunked streaming path (block-bidirectional, "
+                        "chunk+lookahead latency) instead of whole-utterance")
+    p.add_argument("--chunk-seconds", type=float, default=1.0)
+    p.add_argument("--lookahead-seconds", type=float, default=0.2)
     args = p.parse_args(argv)
 
     from aas_enhancement_tpu.utils import jax_cache
@@ -83,16 +88,21 @@ def main(argv=None) -> None:
         if file_sr != sr:
             raise ValueError(f"{path}: sample rate {file_sr} != config {sr}")
         n = len(wav)
-        padded_n = _bucket_length(n, buckets)
-        x = np.zeros(padded_n, np.float32)
-        x[:n] = wav[:padded_n]
 
         t0 = time.perf_counter()
-        out = fn(params, jnp.asarray(x)[None], jnp.array([min(n, padded_n)], jnp.int32))
-        out = jax.block_until_ready(out)
+        if args.streaming:
+            from aas_enhancement_tpu.streaming import enhance_stream
+            enhanced = np.concatenate(list(enhance_stream(
+                cfg, params, wav, args.chunk_seconds, args.lookahead_seconds)))
+        else:
+            padded_n = _bucket_length(n, buckets)
+            x = np.zeros(padded_n, np.float32)
+            x[:n] = wav[:padded_n]
+            out = fn(params, jnp.asarray(x)[None],
+                     jnp.array([min(n, padded_n)], jnp.int32))
+            enhanced = np.asarray(out[0])[:n]
         wall = time.perf_counter() - t0
 
-        enhanced = np.asarray(out[0])[:n]
         write_wav(os.path.join(args.out_dir, os.path.basename(path)), enhanced, sr)
         total_audio += n / sr
         total_wall += wall

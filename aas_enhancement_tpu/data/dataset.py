@@ -128,8 +128,10 @@ class AudioDataset:
             clean[: min(len(cw), bucket)] = cw[: min(len(cw), bucket)]
         return out, n, clean
 
-    def make_batch(self, items: list[dict], real_size: int = 0) -> Batch:
-        bucket = max(self.bucket_of(it["num_samples"]) for it in items)
+    def make_batch(self, items: list[dict], real_size: int = 0,
+                   bucket_override: int = 0) -> Batch:
+        bucket = bucket_override or max(self.bucket_of(it["num_samples"])
+                                        for it in items)
         u = self.max_label_len
         b = len(items)
         wav = np.zeros((b, bucket), np.float32)
@@ -195,13 +197,7 @@ class UnpairedCleanStream:
         """A clean batch padded to `bucket` samples (matches the noisy batch shape)."""
         idx = self.rng.integers(0, len(self.ds.items), size=self.batch_size)
         items = [self.ds.items[i] for i in idx]
-        saved = self.ds.bucket_sizes
-        self.ds.bucket_sizes = [bucket]
-        try:
-            batch = self.ds.make_batch(items)
-        finally:
-            self.ds.bucket_sizes = saved
-        return batch
+        return self.ds.make_batch(items, bucket_override=bucket)
 
 
 def _wav_num_samples(path: str) -> int:

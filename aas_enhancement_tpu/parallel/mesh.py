@@ -19,6 +19,20 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from aas_enhancement_tpu.config import MeshConfig
 
 
+def maybe_init_distributed() -> None:
+    """Multi-host (DCN) initialization hook.
+
+    Single-host v5e-8 is the in-scope target (SURVEY.md §5); on a multi-host pod
+    slice, calling this before any jax use (JAX_COORDINATOR_ADDRESS etc. set by
+    the launcher) makes jax.devices() span all hosts and the same Mesh code path
+    shards over DCN+ICI with no other changes.
+    """
+    import os
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+
+
 def make_mesh(cfg: MeshConfig | None = None, num_devices: int = 0) -> Mesh:
     cfg = cfg or MeshConfig()
     n = num_devices or cfg.num_devices or len(jax.devices())
