@@ -29,7 +29,18 @@ def main(argv=None) -> None:
                    help="restrict transcripts to first N chars (easier CTC)")
     p.add_argument("--from-dir", help="instead: build manifest from an existing dir "
                                       "of .wav files with sibling .txt transcripts")
+    p.add_argument("--chime4-dir", help="instead: build manifests from a CHiME-4 "
+                                        "checkout (see --chime4-split)")
+    p.add_argument("--chime4-split", default="tr05_simu",
+                   help="CHiME-4 split dir under data/audio/16kHz/isolated "
+                        "(e.g. tr05_simu, dt05_simu, et05_real)")
+    p.add_argument("--channel", default="CH5",
+                   help="CHiME-4 isolated channel suffix to select")
     args = p.parse_args(argv)
+
+    if args.chime4_dir:
+        _prepare_chime4(args)
+        return
 
     if args.from_dir:
         entries = []
@@ -47,6 +58,61 @@ def main(argv=None) -> None:
                           snr_range=(args.snr_low, args.snr_high),
                           vocab_chars=args.vocab_chars)
     print(json.dumps({**out, "utterances": args.n_utts}))
+
+
+def _prepare_chime4(args) -> None:
+    """Manifest generation for a real CHiME-4 checkout (SURVEY.md §2 "Data prep
+    scripts"; the reference's primary corpus, BASELINE.json:2).
+
+    Expected layout (standard CHiME-4 distribution; unverifiable offline, so this
+    is tolerant): wavs under `<root>/data/audio/16kHz/isolated/<split>/` named
+    `<utt>_<env>.<channel>.wav` (or plain `<utt>.wav`), transcriptions under
+    `<root>/data/transcriptions/<split>/<utt>.trn` — falling back to a recursive
+    search for `.trn`/`.txt` siblings anywhere in the checkout.
+    """
+    import re
+
+    root = args.chime4_dir
+    split = args.chime4_split
+    wav_dirs = [os.path.join(root, "data", "audio", "16kHz", "isolated", split),
+                os.path.join(root, split), root]
+    wavs = []
+    for d in wav_dirs:
+        if os.path.isdir(d):
+            wavs = sorted(glob.glob(os.path.join(d, "**", "*.wav"), recursive=True))
+            if wavs:
+                break
+    if args.channel:
+        chan = [w for w in wavs if f".{args.channel}." in os.path.basename(w)]
+        any_channel_tagged = any(".CH" in os.path.basename(w) for w in wavs)
+        if chan:
+            wavs = chan
+        elif any_channel_tagged:
+            # Channel-tagged corpus but the requested channel doesn't exist —
+            # mixing all channels silently would double-count utterances.
+            raise SystemExit(f"no wavs with channel {args.channel!r} under {root} "
+                             f"(channel-tagged files present; pick an existing one)")
+
+    # Transcript lookup: utterance id = basename up to the first '.' minus env tag.
+    trn_index: dict[str, str] = {}
+    for pattern in ("**/*.trn", "**/*.txt"):
+        for t in glob.glob(os.path.join(root, pattern), recursive=True):
+            trn_index.setdefault(os.path.splitext(os.path.basename(t))[0], t)
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    entries, missing = [], 0
+    for w in wavs:
+        base = os.path.basename(w).split(".")[0]
+        utt = re.sub(r"_(BUS|CAF|PED|STR)$", "", base)
+        txt = trn_index.get(base) or trn_index.get(utt)
+        if txt is None:
+            missing += 1
+            continue
+        entries.append((w, txt))
+    manifest = os.path.join(args.out_dir, f"{split}_manifest.csv")
+    write_manifest(manifest, entries)
+    print(json.dumps({"manifest": manifest, "utterances": len(entries),
+                      "missing_transcripts": missing}))
 
 
 if __name__ == "__main__":

@@ -114,6 +114,8 @@ class DataConfig:
     min_duration: float = 0.3
     num_buckets: int = 4         # padded time-shape buckets (bounds jit recompiles)
     augment: bool = False
+    use_grain: bool = False      # multi-process decode workers (data/grain_loader.py)
+    grain_workers: int = 2
     noise_dir: str = ""
     noise_prob: float = 0.4
     noise_snr_range: tuple = (0.0, 15.0)

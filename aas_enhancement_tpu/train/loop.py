@@ -145,12 +145,21 @@ def train(cfg: Config, noisy_manifest: str, clean_manifest: str | None = None,
     start_epoch = steps_done // steps_per_epoch
     skip = steps_done % steps_per_epoch
 
+    if cfg.data.use_grain:
+        from aas_enhancement_tpu.data.grain_loader import grain_batches
+
+        def epoch_batches(epoch):
+            return grain_batches(ds, cfg.train.batch_size, cfg.train.seed, epoch,
+                                 worker_count=cfg.data.grain_workers)
+    else:
+        def epoch_batches(epoch):
+            return ds.batches(cfg.train.batch_size, cfg.train.seed, epoch)
+
     with mesh:
         for epoch in range(start_epoch, cfg.train.epochs):
             if done:
                 break
-            for i, batch in enumerate(
-                    ds.batches(cfg.train.batch_size, cfg.train.seed, epoch)):
+            for i, batch in enumerate(epoch_batches(epoch)):
                 if epoch == start_epoch and i < skip:
                     continue
                 bd = _batch_dict(cfg, batch, clean_stream)
