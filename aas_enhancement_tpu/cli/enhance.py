@@ -32,7 +32,10 @@ def _bucket_length(n: int, buckets: list[int]) -> int:
     for b in buckets:
         if n <= b:
             return b
-    return buckets[-1]
+    # Longer than the largest bucket: round up to its granularity (a new compile
+    # per extra-long shape beats silently truncating the audio).
+    step = buckets[-1]
+    return ((n + step - 1) // step) * step
 
 
 def main(argv=None) -> None:
@@ -55,8 +58,8 @@ def main(argv=None) -> None:
 
     cfg = Config.from_json(open(args.config).read()) if args.config else Config()
     if args.mode:
-        cfg = cfg.replace(enhancer=cfg.enhancer.__class__(
-            **{**cfg.enhancer.__dict__, "mode": args.mode}))
+        import dataclasses
+        cfg = cfg.replace(enhancer=dataclasses.replace(cfg.enhancer, mode=args.mode))
 
     if args.checkpoint:
         from aas_enhancement_tpu.train.loop import load_state
@@ -97,9 +100,8 @@ def main(argv=None) -> None:
         else:
             padded_n = _bucket_length(n, buckets)
             x = np.zeros(padded_n, np.float32)
-            x[:n] = wav[:padded_n]
-            out = fn(params, jnp.asarray(x)[None],
-                     jnp.array([min(n, padded_n)], jnp.int32))
+            x[:n] = wav
+            out = fn(params, jnp.asarray(x)[None], jnp.array([n], jnp.int32))
             enhanced = np.asarray(out[0])[:n]
         wall = time.perf_counter() - t0
 

@@ -27,6 +27,8 @@ def main():
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--vocab-chars", type=int, default=8)
     p.add_argument("--lambda-adv", type=float, default=0.2)
+    p.add_argument("--snr-low", type=float, default=0.0)
+    p.add_argument("--snr-high", type=float, default=10.0)
     p.add_argument("--out", default="")
     args = p.parse_args()
 
@@ -44,7 +46,7 @@ def main():
     wd = args.workdir
     os.makedirs(wd, exist_ok=True)
     manifests = generate_corpus(os.path.join(wd, "corpus"), n_utts=args.n_utts,
-                                seed=7, snr_range=(0.0, 10.0),
+                                seed=7, snr_range=(args.snr_low, args.snr_high),
                                 vocab_chars=args.vocab_chars)
 
     def cfg_for(objective):
