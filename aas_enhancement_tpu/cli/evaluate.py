@@ -34,7 +34,12 @@ def evaluate_wer(cfg: Config, am_params, manifest: str, g_params=None,
                  beam_width: int = 32) -> dict:
     """WER over a manifest (greedy or native beam decode); enhances first if
     g_params given."""
-    ds = AudioDataset(manifest, cfg.audio, cfg.data)
+    import dataclasses
+    # Evaluation must score the WHOLE test set, unperturbed: no duration
+    # filtering, no augmentation, whatever the training data config said.
+    eval_data = dataclasses.replace(cfg.data, augment=False,
+                                    min_duration=0.0, max_duration=1e9)
+    ds = AudioDataset(manifest, cfg.audio, eval_data)
     am = AcousticModel(cfg.am)
 
     @jax.jit

@@ -72,13 +72,13 @@ def main(argv=None) -> None:
 
     am_params = None
     if args.am_checkpoint:
-        from aas_enhancement_tpu.models.am import AcousticModel
-        from aas_enhancement_tpu.utils.checkpoint import restore_latest
-        import jax.numpy as jnp
-        template = AcousticModel(cfg.am).init(
-            jax.random.key(0), jnp.zeros((1, 64, cfg.audio.num_bins)),
-            jnp.array([64], jnp.int32))
-        am_params = restore_latest(args.am_checkpoint, {"am_params": template})["am_params"]
+        from aas_enhancement_tpu.train.loop import load_state
+        am_state, am_cfg = load_state(args.am_checkpoint)
+        am_params = am_state.am_params
+        if not am_params:
+            p.error(f"{args.am_checkpoint}: checkpoint has no acoustic model "
+                    f"(objective was {am_cfg.train.objective!r})")
+        cfg = cfg.replace(am=am_cfg.am)  # frozen AM must keep its architecture
     elif args.objective in ("acoustic", "aas"):
         print("WARNING: no --am-checkpoint given; using a RANDOM-INIT frozen AM "
               "(fine for smoke tests, useless as supervision)", flush=True)

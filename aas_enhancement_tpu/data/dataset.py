@@ -72,6 +72,10 @@ class AudioDataset:
 
         self.items = []
         sr = audio.sample_rate
+        # Speed perturbation can lengthen a wav by up to 1/0.9; bucket by the
+        # worst-case augmented length so augmented audio never outgrows its
+        # bucket (which would silently truncate speech the transcript covers).
+        length_margin = 1.12 if data.augment else 1.0
         for i, (wav_path, txt_path) in enumerate(entries):
             n = _wav_num_samples(wav_path)
             dur = n / sr
@@ -81,7 +85,7 @@ class AudioDataset:
                 "wav": wav_path,
                 "txt": txt_path,
                 "clean_wav": paired[i][0] if paired else None,
-                "num_samples": n,
+                "num_samples": int(n * length_margin),
             })
         if not self.items:
             raise ValueError(f"no usable utterances in {manifest_path}")
@@ -154,6 +158,15 @@ class AudioDataset:
                      clean_wav=clean if has_clean else None,
                      real_size=real_size or len(items))
 
+    def num_batches(self, batch_size: int) -> int:
+        """Batches per epoch, computed from item metadata — no wav decode
+        (the count is epoch-invariant: shuffling changes order, not sizes)."""
+        by_bucket: dict[int, int] = {}
+        for it in self.items:
+            b = self.bucket_of(it["num_samples"])
+            by_bucket[b] = by_bucket.get(b, 0) + 1
+        return sum(-(-n // batch_size) for n in by_bucket.values())
+
     def batches(self, batch_size: int, seed: int = 0, epoch: int = 0,
                 drop_last: bool = False) -> Iterator[Batch]:
         """Epoch iterator: shuffle within duration buckets, then shuffle batch order
@@ -198,6 +211,11 @@ class UnpairedCleanStream:
         idx = self.rng.integers(0, len(self.ds.items), size=self.batch_size)
         items = [self.ds.items[i] for i in idx]
         return self.ds.make_batch(items, bucket_override=bucket)
+
+    def skip(self) -> None:
+        """Advance the stream without decoding (used by resume fast-forward so a
+        resumed run sees the same clean batches as an uninterrupted one)."""
+        self.rng.integers(0, len(self.ds.items), size=self.batch_size)
 
 
 def _wav_num_samples(path: str) -> int:

@@ -33,12 +33,16 @@ def _load_lib():
     if _lib is not None or _lib_tried:
         return _lib
     _lib_tried = True
-    if not os.path.exists(_LIB_PATH):
+    src = os.path.join(_NATIVE_DIR, "ctc_beam", "ctc_beam.cc")
+    stale = (os.path.exists(_LIB_PATH) and os.path.exists(src)
+             and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH))
+    if not os.path.exists(_LIB_PATH) or stale:
         try:
             subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
                            capture_output=True, timeout=120)
         except (subprocess.SubprocessError, OSError):
-            return None
+            if not os.path.exists(_LIB_PATH):
+                return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
         lib.ctc_beam_search.restype = ctypes.c_int

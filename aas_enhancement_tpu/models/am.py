@@ -50,16 +50,16 @@ class AcousticModel(nn.Module):
         x = nn.Conv(c, kernel_size=(11, 41), strides=(2, 2), padding="SAME",
                     dtype=dtype, name="conv1")(x)
         out_lengths = conv_out_length(lengths, 11, 2, "SAME")
+        # MaskedGroupNorm zeroes padded frames and hardtanh(0) == 0, so no extra
+        # time-mask pass is needed after either conv block.
         x = MaskedGroupNorm(num_groups=8, dtype=dtype, name="gn1")(x, out_lengths)
         x = _hardtanh(x)
-        x = apply_time_mask(x, out_lengths)
 
         # conv2: kernel (time=11, freq=21), stride (1, 2)
         x = nn.Conv(c, kernel_size=(11, 21), strides=(1, 2), padding="SAME",
                     dtype=dtype, name="conv2")(x)
         x = MaskedGroupNorm(num_groups=8, dtype=dtype, name="gn2")(x, out_lengths)
         x = _hardtanh(x)
-        x = apply_time_mask(x, out_lengths)
 
         b, t, f, ch = x.shape
         x = x.reshape(b, t, f * ch)

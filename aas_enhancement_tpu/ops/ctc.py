@@ -106,7 +106,13 @@ def ctc_loss(logits: jnp.ndarray, logit_paddings: jnp.ndarray,
 
 
 def ctc_loss_mean(logits, logit_paddings, labels, label_paddings,
-                  blank_id: int = 0) -> jnp.ndarray:
-    """Batch-mean CTC loss (the training objective scalar)."""
+                  blank_id: int = 0, weights=None) -> jnp.ndarray:
+    """Batch-mean CTC loss (the training objective scalar).
+
+    weights: optional [B] per-example weights (0 for repeat-padded batch rows so
+    they carry no gradient)."""
     per_ex = ctc_loss(logits, logit_paddings, labels, label_paddings, blank_id)
-    return jnp.mean(per_ex)
+    if weights is None:
+        return jnp.mean(per_ex)
+    w = weights.astype(per_ex.dtype)
+    return jnp.sum(per_ex * w) / jnp.maximum(jnp.sum(w), 1.0)

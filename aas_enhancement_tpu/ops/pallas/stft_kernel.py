@@ -234,8 +234,10 @@ def istft_pallas(re: jnp.ndarray, im: jnp.ndarray, n_fft: int, hop_length: int,
     y = y / jnp.maximum(jnp.asarray(wsq[: total_len + hop]), 1e-8)
 
     if center:
+        # Match the pure-JAX istft exactly: it slices [n_fft//2:] off the full
+        # (t-1)*hop + n_fft overlap-add buffer, leaving (t-1)*hop + n_fft//2.
         y = y[:, n_fft // 2:]
-        out_len = (t - 1) * hop
+        out_len = (t - 1) * hop + n_fft // 2
     else:
         out_len = (t - 1) * hop + n_fft
     y = y[:, : out_len if length is None else length]

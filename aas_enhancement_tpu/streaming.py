@@ -65,11 +65,13 @@ class StreamingEnhancer:
         block = np.zeros(self._window, np.float32)
         block[:n] = self._buf
         self._buf = np.zeros(0, np.float32)
-        return self._run(block)[:n]
+        # Only the n real samples are valid — the zero tail must not dilute the
+        # per-utterance normalization statistics.
+        return self._run(block, valid=n)[:n]
 
-    def _run(self, block: np.ndarray) -> np.ndarray:
+    def _run(self, block: np.ndarray, valid: int | None = None) -> np.ndarray:
         x = jnp.asarray(block)[None]
-        lengths = jnp.array([len(block)], jnp.int32)
+        lengths = jnp.array([valid if valid is not None else len(block)], jnp.int32)
         return np.asarray(self._fn(self.params, x, lengths)[0])
 
 

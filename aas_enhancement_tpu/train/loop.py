@@ -60,11 +60,14 @@ def init_state(cfg: Config, rng: jax.Array, am_params=None) -> TrainState:
 
 
 def load_state(checkpoint_dir: str) -> tuple[TrainState, Config]:
-    """Restore the latest full TrainState from a training checkpoint dir.
+    """Load network parameters from a training checkpoint dir (cross-run use:
+    evaluate / enhance / frozen-AM handoff).
 
-    The template is rebuilt from the config.json the train CLI writes beside the
-    checkpoints, so callers (evaluate/enhance) need no knowledge of which networks
-    the producing objective carried.
+    Restores the raw saved pytree (no structure template — robust to optimizer
+    or RNG representation differences across code versions) and grafts the
+    parameter fields onto a fresh TrainState.  Optimizer states are NOT carried
+    over; in-run resume (`train(..., resume=True)`) uses the exact-structure
+    template path instead.
     """
     import os
 
@@ -75,8 +78,21 @@ def load_state(checkpoint_dir: str) -> tuple[TrainState, Config]:
         raise FileNotFoundError(
             f"{checkpoint_dir}: no config.json — not a train-CLI checkpoint dir")
     cfg = Config.from_json(open(cfg_path).read())
-    template = jax.device_get(init_state(cfg, jax.random.key(0)))
-    state = ckpt.restore_latest(checkpoint_dir, template)
+
+    mgr = ckpt.make_manager(checkpoint_dir)
+    step = mgr.latest_step()
+    if step is None:
+        raise FileNotFoundError(f"no checkpoint found in {checkpoint_dir}")
+    raw = mgr.restore(step)
+    mgr.close()
+
+    state = init_state(cfg, jax.random.key(0))
+    state = state.replace(
+        step=jnp.asarray(raw.get("step", step), jnp.int32),
+        g_params=raw.get("g_params") or {},
+        d_params=raw.get("d_params") or {},
+        am_params=raw.get("am_params") or {},
+    )
     return state, cfg
 
 
@@ -140,10 +156,14 @@ def train(cfg: Config, noisy_manifest: str, clean_manifest: str | None = None,
     # position (batch count per epoch is order-shuffled but size-stable), so the
     # loss curve continues exactly (SURVEY.md §5 "Checkpoint/resume").
     steps_done = int(state.step)
-    steps_per_epoch = sum(1 for _ in ds.batches(cfg.train.batch_size,
-                                                cfg.train.seed, 0))
+    steps_per_epoch = ds.num_batches(cfg.train.batch_size)
     start_epoch = steps_done // steps_per_epoch
     skip = steps_done % steps_per_epoch
+    if clean_stream is not None:
+        # The clean stream is per-STEP (not per-epoch): fast-forward its RNG by
+        # every step already taken so resumed runs see the same real-side batches.
+        for _ in range(steps_done):
+            clean_stream.skip()
 
     if cfg.data.use_grain:
         from aas_enhancement_tpu.data.grain_loader import grain_batches
@@ -164,6 +184,17 @@ def train(cfg: Config, noisy_manifest: str, clean_manifest: str | None = None,
                     continue
                 bd = _batch_dict(cfg, batch, clean_stream)
                 bd = pad_batch_to_devices(bd, n_dev)
+                # Zero-weight repeat-padded rows (short final bucket batches and
+                # device-divisibility padding) so they carry no gradient.
+                pb = bd["wav"].shape[0]
+                rw = np.zeros(pb, np.float32)
+                rw[: batch.size] = 1.0
+                bd["row_weights"] = rw
+                if "clean_wav" in bd:
+                    cw = np.zeros(pb, np.float32)
+                    cw[: cfg.train.batch_size if cfg.train.objective != "paired"
+                       else batch.size] = 1.0
+                    bd["clean_row_weights"] = cw
                 bd = shard_batch(mesh, bd)
                 state, aux = step(state, bd)
 

@@ -49,31 +49,47 @@ def enhancer_forward(cfg: Config, g_params, wav, wav_lengths):
     return enh_mag, jnp.log1p(enh_mag), fl
 
 
-def masked_l1(pred: jnp.ndarray, target: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+def _wmean(x: jnp.ndarray, weights) -> jnp.ndarray:
+    """Weighted mean over the batch dim (weights None -> plain mean)."""
+    if weights is None:
+        return jnp.mean(x)
+    w = weights.astype(x.dtype)
+    return jnp.sum(x * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def _row_weights(batch, key: str = "row_weights"):
+    return batch.get(key)
+
+
+def masked_l1(pred: jnp.ndarray, target: jnp.ndarray, lengths: jnp.ndarray,
+              weights=None) -> jnp.ndarray:
     mask = time_mask(lengths, pred.shape[1], pred.dtype)[:, :, None]
-    num = jnp.sum(jnp.abs(pred - target) * mask)
-    return num / jnp.maximum(jnp.sum(mask) * pred.shape[2], 1.0)
+    per_ex = (jnp.sum(jnp.abs(pred - target) * mask, axis=(1, 2))
+              / jnp.maximum(jnp.sum(mask, axis=(1, 2)) * pred.shape[2], 1.0))
+    return _wmean(per_ex, weights)
 
 
 def paired_loss(cfg: Config, g_params, batch) -> tuple[jnp.ndarray, dict]:
     """Config 2: L1 between enhanced and clean log-magnitudes (BASELINE.json:8)."""
     _, enh_log, fl = enhancer_forward(cfg, g_params, batch["wav"], batch["wav_lengths"])
     _, clean_log, _ = device_features(cfg, batch["clean_wav"], batch["wav_lengths"])
-    loss = masked_l1(enh_log, clean_log, fl)
+    loss = masked_l1(enh_log, clean_log, fl, _row_weights(batch))
     return loss, {"loss_paired": loss}
 
 
-def gan_g_loss(cfg: Config, scores_fake: jnp.ndarray) -> jnp.ndarray:
+def gan_g_loss(cfg: Config, scores_fake: jnp.ndarray, weights=None) -> jnp.ndarray:
     if cfg.train.gan_loss == "lsgan":
-        return jnp.mean((scores_fake - 1.0) ** 2)
-    return jnp.mean(jax.nn.softplus(-scores_fake))          # BCE: -log sigmoid(fake)
+        return _wmean((scores_fake - 1.0) ** 2, weights)
+    return _wmean(jax.nn.softplus(-scores_fake), weights)   # BCE: -log sigmoid(fake)
 
 
-def gan_d_loss(cfg: Config, scores_real: jnp.ndarray,
-               scores_fake: jnp.ndarray) -> jnp.ndarray:
+def gan_d_loss(cfg: Config, scores_real: jnp.ndarray, scores_fake: jnp.ndarray,
+               w_real=None, w_fake=None) -> jnp.ndarray:
     if cfg.train.gan_loss == "lsgan":
-        return 0.5 * (jnp.mean((scores_real - 1.0) ** 2) + jnp.mean(scores_fake ** 2))
-    return jnp.mean(jax.nn.softplus(-scores_real)) + jnp.mean(jax.nn.softplus(scores_fake))
+        return 0.5 * (_wmean((scores_real - 1.0) ** 2, w_real)
+                      + _wmean(scores_fake ** 2, w_fake))
+    return (_wmean(jax.nn.softplus(-scores_real), w_real)
+            + _wmean(jax.nn.softplus(scores_fake), w_fake))
 
 
 def generator_loss(cfg: Config, g_params, d_params, am_params, batch,
@@ -90,6 +106,7 @@ def generator_loss(cfg: Config, g_params, d_params, am_params, batch,
     _, enh_log, fl = enhancer_forward(cfg, g_params, batch["wav"], batch["wav_lengths"])
     loss = jnp.zeros((), jnp.float32)
     aux: dict = {}
+    rw = _row_weights(batch)
 
     if use_acoustic:
         am_in = masked_normalize(enh_log, fl)
@@ -97,16 +114,16 @@ def generator_loss(cfg: Config, g_params, d_params, am_params, batch,
         logits, out_lengths = AcousticModel(cfg.am).apply(frozen, am_in, fl)
         logit_paddings = 1.0 - time_mask(out_lengths, logits.shape[1])
         l_ctc = ctc_loss_mean(logits, logit_paddings, batch["labels"],
-                              batch["label_paddings"])
+                              batch["label_paddings"], weights=rw)
         loss = loss + l_ctc
         aux["loss_ctc"] = l_ctc
 
     if use_adv:
         scores = Discriminator(cfg.discriminator).apply(d_params, enh_log, fl)
-        l_adv = gan_g_loss(cfg, scores)
+        l_adv = gan_g_loss(cfg, scores, rw)
         loss = loss + (lam if use_acoustic else 1.0) * l_adv
         aux["loss_adv_g"] = l_adv
-        aux["d_score_fake_g"] = jnp.mean(scores)
+        aux["d_score_fake_g"] = _wmean(scores, rw)
 
     aux["loss_g"] = loss
     aux["enh_log"] = jax.lax.stop_gradient(enh_log)
@@ -115,14 +132,15 @@ def generator_loss(cfg: Config, g_params, d_params, am_params, batch,
 
 
 def discriminator_loss(cfg: Config, d_params, enh_log, enh_fl,
-                       clean_log, clean_fl) -> tuple[jnp.ndarray, dict]:
+                       clean_log, clean_fl, w_fake=None,
+                       w_real=None) -> tuple[jnp.ndarray, dict]:
     """D update: real = unpaired clean corpus, fake = stop-grad enhanced."""
     disc = Discriminator(cfg.discriminator)
     s_real = disc.apply(d_params, clean_log, clean_fl)
     s_fake = disc.apply(d_params, jax.lax.stop_gradient(enh_log), enh_fl)
-    loss = gan_d_loss(cfg, s_real, s_fake)
-    return loss, {"loss_d": loss, "d_score_real": jnp.mean(s_real),
-                  "d_score_fake": jnp.mean(s_fake)}
+    loss = gan_d_loss(cfg, s_real, s_fake, w_real=w_real, w_fake=w_fake)
+    return loss, {"loss_d": loss, "d_score_real": _wmean(s_real, w_real),
+                  "d_score_fake": _wmean(s_fake, w_fake)}
 
 
 def am_pretrain_loss(cfg: Config, am_params, batch) -> tuple[jnp.ndarray, dict]:
@@ -132,5 +150,5 @@ def am_pretrain_loss(cfg: Config, am_params, batch) -> tuple[jnp.ndarray, dict]:
     logits, out_lengths = AcousticModel(cfg.am).apply(am_params, am_in, fl)
     logit_paddings = 1.0 - time_mask(out_lengths, logits.shape[1])
     loss = ctc_loss_mean(logits, logit_paddings, batch["labels"],
-                         batch["label_paddings"])
+                         batch["label_paddings"], weights=_row_weights(batch))
     return loss, {"loss_ctc_am": loss}

@@ -58,7 +58,9 @@ def make_train_step(cfg: Config) -> Callable:
 
         def loss_fn(d_params):
             return obj.discriminator_loss(cfg, d_params, enh_log, enh_fl,
-                                          clean_log, clean_fl)
+                                          clean_log, clean_fl,
+                                          w_fake=batch.get("row_weights"),
+                                          w_real=batch.get("clean_row_weights"))
 
         (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.d_params)
         new_params, new_opt = _apply_update(d_opt, grads, state.d_params, state.d_opt)

@@ -55,3 +55,30 @@ def test_resume_continues_loss_curve(tmp_path, tmp_path_factory):
         assert s in resumed, f"resumed run missing step {s}"
         np.testing.assert_allclose(resumed[s], full[s], rtol=1e-5, atol=1e-6,
                                    err_msg=f"loss curve diverged at step {s}")
+
+
+def test_resume_aas_clean_stream_lockstep(tmp_path, tmp_path_factory):
+    """Resume must replay the SAME unpaired clean batches (stream fast-forward)."""
+    from aas_enhancement_tpu.config import (AMConfig, DiscriminatorConfig)
+    corpus = generate_corpus(str(tmp_path_factory.mktemp("c2")), n_utts=8, seed=5)
+    cfg = Config(
+        am=AMConfig(rnn_hidden=16, rnn_layers=1, conv_channels=8),
+        enhancer=EnhancerConfig(conv_channels=8, conv_layers=1,
+                                rnn_hidden=16, rnn_layers=1),
+        discriminator=DiscriminatorConfig(channels=(8, 16)),
+        train=TrainConfig(objective="aas", batch_size=4, epochs=100,
+                          log_every=1, checkpoint_every=4),
+        data=DataConfig(num_buckets=1),
+    )
+    ckdir = str(tmp_path / "ck2")
+    _, full = train(cfg, corpus["noisy"], corpus["clean"], max_steps=8)
+    _, _ = train(cfg, corpus["noisy"], corpus["clean"], max_steps=4,
+                 checkpoint_dir=ckdir)
+    _, resumed = train(cfg, corpus["noisy"], corpus["clean"], max_steps=8,
+                       checkpoint_dir=ckdir, resume=True)
+    f = {r["step"]: r["loss_d"] for r in full}
+    r = {r["step"]: r["loss_d"] for r in resumed}
+    for s in (5, 6, 7, 8):
+        np.testing.assert_allclose(r[s], f[s], rtol=1e-5, atol=1e-6,
+                                   err_msg=f"D loss diverged at step {s} "
+                                           "(clean stream out of lockstep)")

@@ -108,3 +108,24 @@ def test_jit_and_batch_consistency():
     for i in range(b):
         solo = ctc_loss(logits[i: i + 1], lp[i: i + 1], labels[i: i + 1], lbp[i: i + 1])
         np.testing.assert_allclose(float(full[i]), float(solo[0]), rtol=1e-5, atol=1e-5)
+
+
+def test_weighted_mean_ignores_padded_rows():
+    """Zero-weight (repeat-padded) rows must not contribute gradient or loss."""
+    from aas_enhancement_tpu.ops.ctc import ctc_loss_mean
+    rng = np.random.default_rng(6)
+    logits1 = jnp.asarray(rng.standard_normal((1, 8, 5)).astype(np.float32))
+    labels1 = jnp.asarray([[1, 2]], dtype=jnp.int32)
+    lp1, lbp1 = jnp.zeros((1, 8)), jnp.zeros((1, 2))
+    solo = float(ctc_loss_mean(logits1, lp1, labels1, lbp1))
+
+    # Duplicate the row; weight the copy 0.
+    logits2 = jnp.concatenate([logits1, logits1])
+    labels2 = jnp.concatenate([labels1, labels1])
+    lp2, lbp2 = jnp.zeros((2, 8)), jnp.zeros((2, 2))
+    w = jnp.asarray([1.0, 0.0])
+    weighted = float(ctc_loss_mean(logits2, lp2, labels2, lbp2, weights=w))
+    np.testing.assert_allclose(weighted, solo, rtol=1e-6)
+
+    g = jax.grad(lambda x: ctc_loss_mean(x, lp2, labels2, lbp2, weights=w))(logits2)
+    assert float(jnp.abs(g[1]).max()) == 0.0, "zero-weight row leaked gradient"

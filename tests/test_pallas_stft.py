@@ -54,3 +54,14 @@ def test_istft_matches_jax():
     y_p = istft_pallas(re, im, N_FFT, HOP, center=True, length=16000, interpret=True)
     y_j = istft(re, im, N_FFT, HOP, center=True, length=16000)
     np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_j), atol=2e-3)
+
+
+def test_istft_default_length_matches_jax():
+    """center=True, length=None must give identical shapes on both paths."""
+    rng = np.random.default_rng(8)
+    re = jnp.asarray(rng.standard_normal((1, 101, N_FFT // 2 + 1)).astype(np.float32))
+    im = jnp.asarray(rng.standard_normal((1, 101, N_FFT // 2 + 1)).astype(np.float32))
+    y_j = istft(re, im, N_FFT, HOP, center=True)
+    y_p = istft_pallas(re, im, N_FFT, HOP, center=True, interpret=True)
+    assert y_p.shape == y_j.shape
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_j), atol=2e-3)
