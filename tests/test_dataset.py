@@ -70,3 +70,17 @@ def test_duration_filtering(corpus):
     n_all = len(ds)
     ds2 = _ds(corpus, min_duration=1.2, max_duration=100.0)
     assert len(ds2) < n_all                             # short utts dropped
+
+
+def test_num_batches_matches_iteration(corpus):
+    ds = _ds(corpus, num_buckets=3)
+    counted = ds.num_batches(4)
+    iterated = sum(1 for _ in ds.batches(4, seed=0, epoch=0))
+    assert counted == iterated
+
+
+def test_augment_margin_buckets(corpus):
+    """With augmentation on, buckets are sized for the worst-case slowdown."""
+    plain = _ds(corpus, num_buckets=1)
+    aug = _ds(corpus, num_buckets=1, augment=True)
+    assert max(aug.bucket_sizes) >= max(plain.bucket_sizes)

@@ -76,3 +76,16 @@ def test_enhance_batched_matches_single(cfg, params):
     single = fn(params, jnp.asarray(wavs[:1]), lengths[:1])
     np.testing.assert_allclose(np.asarray(batch[0]), np.asarray(single[0]),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_enhance_cli_long_audio_not_truncated(cfg, params, tmp_path):
+    """Audio longer than the largest bucket must be fully enhanced (was silently
+    truncated to 16 s before the round-1 review)."""
+    import numpy as np
+    from aas_enhancement_tpu.cli.enhance import _bucket_length
+    sr = cfg.audio.sample_rate
+    buckets = [sr * s for s in (2, 4, 8, 16)]
+    n = 19 * sr
+    padded = _bucket_length(n, buckets)
+    assert padded >= n
+    assert padded % buckets[-1] == 0
