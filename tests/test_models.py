@@ -74,3 +74,22 @@ def test_discriminator_padding_invariance():
     padded = model.apply(params, x_pad, jnp.array([28]))
     np.testing.assert_allclose(np.asarray(padded), np.asarray(solo),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_default_param_count_goldens():
+    """Golden parameter counts for the DEFAULT configs (SURVEY.md §4 item 2) —
+    catches accidental architecture drift between rounds."""
+    from aas_enhancement_tpu.config import (AMConfig, DiscriminatorConfig,
+                                            EnhancerConfig)
+    from aas_enhancement_tpu.models import Discriminator, Enhancer
+    x = jnp.zeros((1, 40, F))
+    lens = jnp.array([40])
+    goldens = {
+        "am": (AcousticModel(AMConfig()), 15_331_133),
+        "enhancer": (Enhancer(EnhancerConfig()), 12_200_321),
+        "discriminator": (Discriminator(DiscriminatorConfig()), 259_713),
+    }
+    for name, (model, want) in goldens.items():
+        p = model.init(jax.random.key(0), x, lens)
+        n = sum(int(np.prod(l.shape)) for l in jax.tree.leaves(p))
+        assert n == want, f"{name} param count drifted: {n} != {want}"
