@@ -36,7 +36,16 @@ def maybe_init_distributed() -> None:
 def make_mesh(cfg: MeshConfig | None = None, num_devices: int = 0) -> Mesh:
     cfg = cfg or MeshConfig()
     n = num_devices or cfg.num_devices or len(jax.devices())
-    devices = np.asarray(jax.devices()[:n])
+    available = jax.devices()
+    if n > len(available):
+        raise ValueError(
+            f"make_mesh: requested {n} devices but only {len(available)} are "
+            f"visible on platform {available[0].platform!r}. For a virtual CPU "
+            f"mesh set JAX_PLATFORMS=cpu and "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count={n} before jax "
+            f"initializes (or use __graft_entry__.dryrun_multichip, which "
+            f"self-hosts this in a subprocess).")
+    devices = np.asarray(available[:n])
     return Mesh(devices, axis_names=(cfg.data_axis,))
 
 
@@ -69,6 +78,8 @@ def pad_batch_to_devices(batch: dict[str, Any], n: int) -> dict[str, Any]:
         b = v.shape[0]
         rem = (-b) % n
         if rem:
-            v = np.concatenate([v, v[:rem]], axis=0)
+            # np.resize tiles the batch cyclically, covering rem > b (e.g. b=2,
+            # n=8 -> 8 rows), which a single v[:rem] concat would not.
+            v = np.resize(np.asarray(v), (b + rem,) + tuple(v.shape[1:]))
         out[k] = v
     return out
