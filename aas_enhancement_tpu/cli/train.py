@@ -36,13 +36,24 @@ def main(argv=None) -> None:
                    help="training manifest (clean manifest for --objective am)")
     p.add_argument("--clean-manifest",
                    help="paired clean manifest (paired) / unpaired clean corpus (adv, aas)")
-    p.add_argument("--am-checkpoint", help="pre-trained AM checkpoint dir (acoustic, aas)")
+    p.add_argument("--am-checkpoint",
+                   help="pre-trained AM checkpoint dir (supervision for acoustic/aas; "
+                        "decode-only validation AM for other objectives)")
     p.add_argument("--config", help="config JSON file")
     p.add_argument("--steps", type=int, default=0, help="stop after N steps (0 = epochs)")
     p.add_argument("--epochs", type=int, default=0)
     p.add_argument("--batch-size", type=int, default=0)
     p.add_argument("--lambda-adv", type=float, default=None)
     p.add_argument("--log-every", type=int, default=0)
+    p.add_argument("--val-manifest",
+                   help="dev manifest: periodic greedy-WER validation + best-WER "
+                        "checkpoint selection")
+    p.add_argument("--eval-every", type=int, default=-1,
+                   help="validate every N steps (0 = each epoch end)")
+    p.add_argument("--lr-anneal", type=float, default=None,
+                   help="per-epoch LR divisor, e.g. 1.1 (deepspeech recipe)")
+    p.add_argument("--sortagrad", action="store_true",
+                   help="serve epoch 0 strictly shortest-first")
     p.add_argument("--checkpoint-dir", default="")
     p.add_argument("--continue-from", dest="resume", action="store_true",
                    help="resume from the latest checkpoint in --checkpoint-dir")
@@ -63,7 +74,16 @@ def main(argv=None) -> None:
         tr["lambda_adv"] = args.lambda_adv
     if args.log_every:
         tr["log_every"] = args.log_every
+    if args.eval_every >= 0:
+        tr["eval_every"] = args.eval_every
+    if args.lr_anneal is not None:
+        tr["lr_anneal"] = args.lr_anneal
+    if args.sortagrad:
+        tr["sortagrad"] = True
     cfg = cfg.replace(train=dataclasses.replace(cfg.train, **tr))
+    if args.val_manifest:
+        cfg = cfg.replace(data=dataclasses.replace(cfg.data,
+                                                   val_manifest=args.val_manifest))
 
     if args.objective in ("paired",) and not args.clean_manifest:
         p.error("--objective paired requires --clean-manifest (paired targets)")
@@ -98,11 +118,20 @@ def main(argv=None) -> None:
         tensorboard_dir=args.tensorboard,
         checkpoint_dir=args.checkpoint_dir or None,
         resume=args.resume,
-        state=state)
+        state=state,
+        eval_am_params=(am_params if args.objective in ("paired", "adversarial")
+                        else None))
 
-    final = records[-1] if records else {}
-    print(json.dumps({"final_step": int(state.step), **{
-        k: v for k, v in final.items() if k.startswith("loss")}}))
+    final = next((r for r in reversed(records)
+                  if any(k.startswith("loss") for k in r)), {})
+    out = {"final_step": int(state.step),
+           **{k: v for k, v in final.items() if k.startswith("loss")}}
+    last_val = next((r for r in reversed(records) if "val_wer" in r), None)
+    if last_val is not None:
+        out["val_wer"] = last_val["val_wer"]
+        if "val_wer_noisy" in last_val:
+            out["val_wer_noisy"] = last_val["val_wer_noisy"]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -88,10 +88,16 @@ class TrainConfig:
     gan_loss: str = "lsgan"      # "lsgan" | "bce"
     epochs: int = 10
     steps_per_epoch: int = 0     # 0 = derive from dataset
+    lr_anneal: float = 1.0       # per-epoch LR divisor (deepspeech recipe: 1.1);
+                                 # lr(epoch) = lr / lr_anneal**epoch, all optimizers
+    sortagrad: bool = False      # epoch 0 served strictly shortest-first
     seed: int = 0
     checkpoint_dir: str = "checkpoints"
     checkpoint_every: int = 500
     log_every: int = 10
+    eval_every: int = 0          # validate every N steps; 0 = at each epoch end
+                                 # (validation runs only when data.val_manifest set)
+    eval_batch_size: int = 4     # batch size for in-training validation decode
 
 
 @dataclass(frozen=True)

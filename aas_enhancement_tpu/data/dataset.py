@@ -61,10 +61,16 @@ class AudioDataset:
             from aas_enhancement_tpu.data.augment import NoiseInjector, augment_wav
             noise = (NoiseInjector(data.noise_dir, audio.sample_rate)
                      if data.noise_dir else None)
-            rng = np.random.default_rng(0xA46)
-            self.augment = lambda w: augment_wav(
-                w, rng, noise=noise, noise_prob=data.noise_prob,
-                snr_range=tuple(data.noise_snr_range))
+
+            def _aug(w, idx: int, epoch: int):
+                # Position-deterministic draws: seeded per (item, epoch), so a
+                # resumed run, a grain worker, and an uninterrupted run all see
+                # identical augmented audio for the same item in the same epoch.
+                rng = np.random.default_rng((0xA46, epoch, idx))
+                return augment_wav(w, rng, noise=noise, noise_prob=data.noise_prob,
+                                   snr_range=tuple(data.noise_snr_range))
+
+            self.augment = _aug
         entries = read_manifest(manifest_path)
         paired = read_manifest(paired_manifest) if paired_manifest else None
         if paired is not None and len(paired) != len(entries):
@@ -82,6 +88,7 @@ class AudioDataset:
             if dur < data.min_duration or dur > data.max_duration:
                 continue
             self.items.append({
+                "idx": i,            # stable manifest position (augment RNG key)
                 "wav": wav_path,
                 "txt": txt_path,
                 "clean_wav": paired[i][0] if paired else None,
@@ -114,14 +121,15 @@ class AudioDataset:
                 return b
         return self.bucket_sizes[-1]
 
-    def _load(self, it: dict, bucket: int) -> tuple[np.ndarray, int, np.ndarray | None]:
+    def _load(self, it: dict, bucket: int,
+              epoch: int = 0) -> tuple[np.ndarray, int, np.ndarray | None]:
         wav, sr = read_wav(it["wav"])
         if sr != self.audio.sample_rate:
             raise ValueError(f"{it['wav']}: sample rate {sr} != {self.audio.sample_rate}")
         if self.augment is not None and it["clean_wav"] is None:
             # Augmentation only for unpaired training inputs — paired targets must
             # stay sample-aligned with their clean side.
-            wav = self.augment(wav)
+            wav = self.augment(wav, it["idx"], epoch)
         n = min(len(wav), bucket)
         out = np.zeros(bucket, np.float32)
         out[:n] = wav[:n]
@@ -133,7 +141,7 @@ class AudioDataset:
         return out, n, clean
 
     def make_batch(self, items: list[dict], real_size: int = 0,
-                   bucket_override: int = 0) -> Batch:
+                   bucket_override: int = 0, epoch: int = 0) -> Batch:
         bucket = bucket_override or max(self.bucket_of(it["num_samples"])
                                         for it in items)
         u = self.max_label_len
@@ -145,7 +153,7 @@ class AudioDataset:
         clean = np.zeros((b, bucket), np.float32)
         has_clean = all(it["clean_wav"] for it in items)
         for j, it in enumerate(items):
-            w, n, c = self._load(it, bucket)
+            w, n, c = self._load(it, bucket, epoch)
             wav[j] = w
             wav_lengths[j] = n
             ids = it["label_ids"][:u]
@@ -168,33 +176,54 @@ class AudioDataset:
         return sum(-(-n // batch_size) for n in by_bucket.values())
 
     def batches(self, batch_size: int, seed: int = 0, epoch: int = 0,
-                drop_last: bool = False) -> Iterator[Batch]:
+                drop_last: bool = False, sorted_order: bool = False,
+                start: int = 0) -> Iterator[Batch]:
         """Epoch iterator: shuffle within duration buckets, then shuffle batch order
-        (BucketingSampler parity; epoch 0 can serve as the SortaGrad-style
-        short-first epoch since buckets are ordered by duration when seed fixes
-        batch order)."""
-        rng = np.random.default_rng(seed + epoch * 9973)
-        by_bucket: dict[int, list[dict]] = {}
-        for it in self.items:
-            by_bucket.setdefault(self.bucket_of(it["num_samples"]), []).append(it)
+        (BucketingSampler parity).  With sorted_order=True the epoch is served
+        strictly shortest-first — the explicit SortaGrad epoch (reference
+        deepspeech recipe, SURVEY.md §2 "Train: acoustic model").  `start` skips
+        the first N batches WITHOUT decoding them (resume fast-forward; augment
+        draws are position-keyed so the skip cannot shift them)."""
+        chunks = epoch_chunks(self, batch_size, seed, epoch,
+                              drop_last=drop_last, sorted_order=sorted_order)
+        for chunk, orig in chunks[start:]:
+            yield self.make_batch(chunk, real_size=orig, epoch=epoch)
 
-        batches = []
-        for bucket in sorted(by_bucket):
-            items = by_bucket[bucket]
+
+def epoch_chunks(dataset: AudioDataset, batch_size: int, seed: int = 0,
+                 epoch: int = 0, drop_last: bool = False,
+                 sorted_order: bool = False) -> list[tuple[list[dict], int]]:
+    """One epoch's batch composition: [(items, real_size)], decode-free.
+
+    Shared by the in-process iterator and the grain source so both serve
+    byte-identical epochs.  sorted_order=True keeps strict duration order
+    (SortaGrad); otherwise items shuffle within buckets and (for epoch > 0)
+    batch order shuffles too.
+    """
+    rng = np.random.default_rng(seed + epoch * 9973)
+    by_bucket: dict[int, list[dict]] = {}
+    for it in dataset.items:
+        by_bucket.setdefault(dataset.bucket_of(it["num_samples"]), []).append(it)
+
+    chunks = []
+    for bucket in sorted(by_bucket):
+        items = by_bucket[bucket]
+        if sorted_order:
+            order = np.argsort([it["num_samples"] for it in items], kind="stable")
+        else:
             order = rng.permutation(len(items))
-            for i in range(0, len(items), batch_size):
-                chunk = [items[k] for k in order[i: i + batch_size]]
-                if drop_last and len(chunk) < batch_size:
-                    continue
-                # Pad short final batches by repeating items (keeps shapes static).
-                orig = len(chunk)
-                while 0 < len(chunk) < batch_size:
-                    chunk.append(chunk[len(chunk) % orig])
-                batches.append((chunk, orig))
-        if epoch > 0:
-            rng.shuffle(batches)
-        for chunk, orig in batches:
-            yield self.make_batch(chunk, real_size=orig)
+        for i in range(0, len(items), batch_size):
+            chunk = [items[k] for k in order[i: i + batch_size]]
+            if drop_last and len(chunk) < batch_size:
+                continue
+            # Pad short final batches by repeating items (keeps shapes static).
+            orig = len(chunk)
+            while 0 < len(chunk) < batch_size:
+                chunk.append(chunk[len(chunk) % orig])
+            chunks.append((chunk, orig))
+    if epoch > 0 and not sorted_order:
+        rng.shuffle(chunks)
+    return chunks
 
 
 class UnpairedCleanStream:

@@ -14,41 +14,28 @@ from __future__ import annotations
 
 from typing import Iterator
 
-from aas_enhancement_tpu.data.dataset import AudioDataset, Batch
+from aas_enhancement_tpu.data.dataset import AudioDataset, Batch, epoch_chunks
 
 
 class _EpochBatchSource:
     """Random-access view of one epoch's batch list (grain RandomAccessDataSource)."""
 
-    def __init__(self, dataset: AudioDataset, batch_size: int, seed: int, epoch: int):
+    def __init__(self, dataset: AudioDataset, batch_size: int, seed: int, epoch: int,
+                 sorted_order: bool = False, start: int = 0):
         self.ds = dataset
-        # Materialize the epoch's batch composition (items only — cheap); decode
-        # happens in __getitem__, i.e. inside grain workers.
-        import numpy as np
-
-        rng = np.random.default_rng(seed + epoch * 9973)
-        by_bucket: dict[int, list] = {}
-        for it in dataset.items:
-            by_bucket.setdefault(dataset.bucket_of(it["num_samples"]), []).append(it)
-        self._chunks: list[tuple[list, int]] = []
-        for bucket in sorted(by_bucket):
-            items = by_bucket[bucket]
-            order = rng.permutation(len(items))
-            for i in range(0, len(items), batch_size):
-                chunk = [items[k] for k in order[i: i + batch_size]]
-                orig = len(chunk)
-                while 0 < len(chunk) < batch_size:
-                    chunk.append(chunk[len(chunk) % orig])
-                self._chunks.append((chunk, orig))
-        if epoch > 0:
-            rng.shuffle(self._chunks)
+        self.epoch = epoch
+        # The epoch's batch composition (items only — cheap) comes from the same
+        # epoch_chunks as the in-process iterator, so both paths serve identical
+        # epochs; decode happens in __getitem__, i.e. inside grain workers.
+        self._chunks = epoch_chunks(dataset, batch_size, seed, epoch,
+                                    sorted_order=sorted_order)[start:]
 
     def __len__(self) -> int:
         return len(self._chunks)
 
     def __getitem__(self, idx: int) -> dict:
         chunk, orig = self._chunks[idx]
-        b = self.ds.make_batch(chunk, real_size=orig)
+        b = self.ds.make_batch(chunk, real_size=orig, epoch=self.epoch)
         out = {"wav": b.wav, "wav_lengths": b.wav_lengths, "labels": b.labels,
                "label_paddings": b.label_paddings, "real_size": orig}
         if b.clean_wav is not None:
@@ -57,15 +44,18 @@ class _EpochBatchSource:
 
 
 def grain_batches(dataset: AudioDataset, batch_size: int, seed: int = 0,
-                  epoch: int = 0, worker_count: int = 2) -> Iterator[Batch]:
+                  epoch: int = 0, worker_count: int = 2,
+                  sorted_order: bool = False, start: int = 0) -> Iterator[Batch]:
     """Epoch iterator with decode/pad in grain worker processes."""
     try:
         import grain.python as grain
     except ImportError:
-        yield from dataset.batches(batch_size, seed, epoch)
+        yield from dataset.batches(batch_size, seed, epoch,
+                                   sorted_order=sorted_order, start=start)
         return
 
-    source = _EpochBatchSource(dataset, batch_size, seed, epoch)
+    source = _EpochBatchSource(dataset, batch_size, seed, epoch,
+                               sorted_order=sorted_order, start=start)
     sampler = grain.IndexSampler(
         num_records=len(source), shard_options=grain.NoSharding(),
         shuffle=False, num_epochs=1, seed=seed)

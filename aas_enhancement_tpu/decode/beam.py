@@ -52,14 +52,25 @@ def _load_lib():
             ctypes.POINTER(ctypes.c_int), ctypes.c_int,
             ctypes.POINTER(ctypes.c_float),
         ]
+        lib.ctc_beam_search_lm.restype = ctypes.c_int
+        lib.ctc_beam_search_lm.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+            ctypes.c_float, ctypes.c_float,
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float),
+        ]
         _lib = lib
-    except OSError:
+    except (OSError, AttributeError):
         _lib = None
     return _lib
 
 
 def beam_search_native(log_probs: np.ndarray, beam_width: int = 32,
-                       blank: int = BLANK_ID, prune_k: int = 16):
+                       blank: int = BLANK_ID, prune_k: int = 16,
+                       lm_table: np.ndarray | None = None, lm_order: int = 0,
+                       lm_alpha: float = 0.0, lm_beta: float = 0.0):
     """[T, V] log-probs -> (ids list, score) via the C++ decoder, or None."""
     lib = _load_lib()
     if lib is None:
@@ -69,21 +80,50 @@ def beam_search_native(log_probs: np.ndarray, beam_width: int = 32,
     max_out = t + 1
     out = np.zeros(max_out, np.int32)
     score = ctypes.c_float(0.0)
-    n = lib.ctc_beam_search(
-        lp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), t, v,
-        beam_width, blank, prune_k,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), max_out,
-        ctypes.byref(score))
+    if lm_table is not None:
+        table = np.ascontiguousarray(lm_table, dtype=np.float32)
+        if table.size != v ** lm_order:
+            raise ValueError(f"LM table has {table.size} entries, expected "
+                             f"{v}^{lm_order} for vocab {v}")
+        n = lib.ctc_beam_search_lm(
+            lp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), t, v,
+            beam_width, blank, prune_k,
+            table.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), lm_order,
+            lm_alpha, lm_beta,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), max_out,
+            ctypes.byref(score))
+    else:
+        n = lib.ctc_beam_search(
+            lp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), t, v,
+            beam_width, blank, prune_k,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), max_out,
+            ctypes.byref(score))
     if n < 0:
         return None
     return list(out[:n]), float(score.value)
 
 
 def beam_search_python(log_probs: np.ndarray, beam_width: int = 32,
-                       blank: int = BLANK_ID, prune_k: int = 16):
-    """Pure-python prefix beam search (reference implementation / fallback)."""
+                       blank: int = BLANK_ID, prune_k: int = 16,
+                       lm_table: np.ndarray | None = None, lm_order: int = 0,
+                       lm_alpha: float = 0.0, lm_beta: float = 0.0):
+    """Pure-python prefix beam search (reference implementation / fallback).
+
+    LM shallow fusion matches the native decoder exactly: the dense-table score
+    alpha*lm[ctx, c] + beta applies once per symbol appended to a prefix."""
     t, v = log_probs.shape
     beams: dict[tuple, list] = {(): [0.0, -math.inf]}  # prefix -> [p_b, p_nb]
+
+    if lm_table is not None:
+        from aas_enhancement_tpu.decode.lm import context_index
+        lm_table = np.asarray(lm_table, np.float32).reshape(-1, v)
+
+        def bonus(prefix, c):
+            return lm_alpha * float(
+                lm_table[context_index(prefix, lm_order, v), c]) + lm_beta
+    else:
+        def bonus(prefix, c):
+            return 0.0
 
     def lse(a, b):
         if a == -math.inf:
@@ -111,10 +151,10 @@ def beam_search_python(log_probs: np.ndarray, beam_width: int = 32,
                     nb2 = next_beams[prefix]
                     nb2[1] = lse(nb2[1], p_nb + p)
                     ext = next_beams[prefix + (c,)]
-                    ext[1] = lse(ext[1], p_b + p)
+                    ext[1] = lse(ext[1], p_b + p + bonus(prefix, c))
                 else:
                     ext = next_beams[prefix + (c,)]
-                    ext[1] = lse(ext[1], total + p)
+                    ext[1] = lse(ext[1], total + p + bonus(prefix, c))
         ranked = sorted(next_beams.items(), key=lambda kv: -lse(kv[1][0], kv[1][1]))
         beams = dict(ranked[:beam_width])
 
@@ -124,20 +164,34 @@ def beam_search_python(log_probs: np.ndarray, beam_width: int = 32,
 
 def beam_decode(log_probs: np.ndarray, lengths: np.ndarray | None = None,
                 beam_width: int = 32, labels: str = LABELS,
-                prune_k: int = 16) -> list[str]:
+                prune_k: int = 16, lm=None, lm_alpha: float = 0.0,
+                lm_beta: float = 0.0) -> list[str]:
     """Batch [B, T, V] log-probs (+ valid lengths) -> decoded strings.
 
     Uses the native C++ decoder when available, python fallback otherwise.
+    `lm` is a decode.lm.CharNGramLM (or a prebuilt dense table) fused into the
+    search with weight lm_alpha and per-symbol bonus lm_beta (the reference
+    ctcdecode alpha/beta contract).
     """
     if log_probs.ndim == 2:
         log_probs = log_probs[None]
+    lm_table, lm_order = None, 0
+    if lm is not None and lm_alpha != 0.0:
+        if hasattr(lm, "dense_table"):
+            lm_table, lm_order = lm.dense_table(), lm.order
+        else:
+            lm_table = np.asarray(lm, np.float32)
+            v = log_probs.shape[-1]
+            lm_order = int(round(math.log(lm_table.size) / math.log(v)))
+    lm_kw = dict(lm_table=lm_table, lm_order=lm_order,
+                 lm_alpha=lm_alpha, lm_beta=lm_beta)
     out = []
     for b in range(log_probs.shape[0]):
         t = int(lengths[b]) if lengths is not None else log_probs.shape[1]
         lp = np.asarray(log_probs[b, :t], np.float32)
-        result = beam_search_native(lp, beam_width, prune_k=prune_k)
+        result = beam_search_native(lp, beam_width, prune_k=prune_k, **lm_kw)
         if result is None:
-            result = beam_search_python(lp, beam_width, prune_k=prune_k)
+            result = beam_search_python(lp, beam_width, prune_k=prune_k, **lm_kw)
         ids, _ = result
         out.append("".join(labels[i] for i in ids))
     return out

@@ -1,0 +1,89 @@
+"""WER evaluation harness: AM greedy/beam decode over a manifest.
+
+Reference capability (SURVEY.md §2 "Evaluate entry point", §3.4): run the acoustic
+model over a test manifest, compute corpus WER/CER; optionally enhance first and
+report the delta — the north-star quality metric (BASELINE.json:2).  Shared by the
+evaluate CLI and by in-training validation (SURVEY.md §3.1 "eval epoch: greedy
+decode -> WER", §3.2 "periodic: enhance dev set -> AM decode -> WER").
+
+The jitted forward takes parameters as ARGUMENTS (not closure constants), so one
+compiled executable serves every validation call during training.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aas_enhancement_tpu.config import Config
+from aas_enhancement_tpu.data.dataset import AudioDataset
+from aas_enhancement_tpu.decode.greedy import decode_batch
+from aas_enhancement_tpu.decode.wer import cer, corpus_wer
+from aas_enhancement_tpu.labels import decode_ids
+from aas_enhancement_tpu.models.am import AcousticModel
+from aas_enhancement_tpu.ops.masking import masked_normalize, time_mask
+from aas_enhancement_tpu.train.objectives import device_features, enhancer_forward
+
+
+def make_eval_forward(cfg: Config, use_enhancer: bool):
+    """-> jitted (am_params, g_params, wav, wav_lengths) -> (logits, logit_pads)."""
+    am = AcousticModel(cfg.am)
+
+    @jax.jit
+    def forward(am_params, g_params, wav, wav_lengths):
+        if use_enhancer:
+            _, log_mag, fl = enhancer_forward(cfg, g_params, wav, wav_lengths)
+        else:
+            _, log_mag, fl = device_features(cfg, wav, wav_lengths)
+        am_in = masked_normalize(log_mag, fl)
+        logits, out_lengths = am.apply(am_params, am_in, fl)
+        pads = 1.0 - time_mask(out_lengths, logits.shape[1])
+        return logits, pads
+
+    return forward
+
+
+def eval_dataset(cfg: Config, manifest: str) -> AudioDataset:
+    """Evaluation must score the WHOLE set, unperturbed: no duration filtering,
+    no augmentation, whatever the training data config said."""
+    eval_data = dataclasses.replace(cfg.data, augment=False,
+                                    min_duration=0.0, max_duration=1e9)
+    return AudioDataset(manifest, cfg.audio, eval_data)
+
+
+def evaluate_wer(cfg: Config, am_params, manifest, g_params=None,
+                 batch_size: int = 4, decoder: str = "greedy",
+                 beam_width: int = 32, lm=None, lm_alpha: float = 0.0,
+                 lm_beta: float = 0.0, forward=None) -> dict:
+    """WER over a manifest (greedy or native beam decode); enhances first if
+    g_params given.  `manifest` may be a path or a prebuilt AudioDataset;
+    `forward` may be a prebuilt make_eval_forward result (reused across calls)."""
+    ds = manifest if isinstance(manifest, AudioDataset) else eval_dataset(cfg, manifest)
+    if forward is None:
+        forward = make_eval_forward(cfg, use_enhancer=g_params is not None)
+
+    refs, hyps = [], []
+    for batch in ds.batches(batch_size, seed=0, epoch=0):
+        logits, pads = forward(am_params, g_params if g_params is not None else {},
+                               jnp.asarray(batch.wav),
+                               jnp.asarray(batch.wav_lengths))
+        k = batch.size  # drop repeat-padded rows from metrics
+        if decoder == "beam":
+            from aas_enhancement_tpu.decode.beam import beam_decode
+            log_probs = np.asarray(jax.nn.log_softmax(logits, axis=-1))
+            lens = np.sum(np.asarray(pads) < 0.5, axis=1).astype(np.int32)
+            hyps.extend(beam_decode(log_probs, lens, beam_width=beam_width,
+                                    lm=lm, lm_alpha=lm_alpha, lm_beta=lm_beta)[:k])
+        else:
+            hyps.extend(decode_batch(logits, pads)[:k])
+        for row, pad_row in zip(batch.labels[:k], batch.label_paddings[:k]):
+            n = int(np.sum(pad_row < 0.5))
+            refs.append(decode_ids(row[:n]))
+
+    w = corpus_wer(refs, hyps)
+    c = float(np.mean([cer(r, h) for r, h in zip(refs, hyps)])) if refs else 0.0
+    return {"wer": w, "cer": c, "utterances": len(refs),
+            "sample_ref": refs[0] if refs else "", "sample_hyp": hyps[0] if hyps else ""}

@@ -9,6 +9,7 @@ handles async checkpointing.
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Callable
 
@@ -96,6 +97,88 @@ def load_state(checkpoint_dir: str) -> tuple[TrainState, Config]:
     return state, cfg
 
 
+class _Validator:
+    """In-training validation: greedy-decode WER on cfg.data.val_manifest.
+
+    Reference parity: SURVEY.md §3.1 "eval epoch: greedy decode -> WER" and §3.2
+    "periodic: enhance dev set -> AM decode -> WER".  The decode AM is the state's
+    own (am/acoustic/aas) or a decode-only `eval_am_params` (paired/adversarial).
+    Keeps best-WER checkpoint selection in `<checkpoint_dir>/best_ckpt`.
+    """
+
+    def __init__(self, cfg: Config, eval_am_params, records, logger,
+                 checkpoint_dir: str | None):
+        from aas_enhancement_tpu.evaluation import eval_dataset, make_eval_forward
+
+        self.cfg = cfg
+        self.eval_am_params = eval_am_params
+        self.records = records
+        self.logger = logger
+        self.checkpoint_dir = checkpoint_dir
+        self.ds = eval_dataset(cfg, cfg.data.val_manifest)
+        self.use_enhancer = cfg.train.objective != "am"
+        self.forward = make_eval_forward(cfg, use_enhancer=self.use_enhancer)
+        self._noisy_forward = None
+        self.noisy_wer = None          # frozen-AM baseline, computed once
+        self.best_wer = float("inf")
+        self.last_eval_step = -1
+        self._best_mgr = None
+
+    def _am_params(self, state: TrainState):
+        if state.am_params:
+            return state.am_params
+        return self.eval_am_params
+
+    def run(self, state: TrainState, s: int, epoch: int) -> dict | None:
+        from aas_enhancement_tpu.evaluation import evaluate_wer, make_eval_forward
+
+        self.last_eval_step = s
+        am_p = self._am_params(state)
+        if not am_p:
+            return None   # paired/adversarial without a decode-only AM
+        g_p = state.g_params if self.use_enhancer else None
+        res = evaluate_wer(self.cfg, am_p, self.ds, g_params=g_p,
+                           batch_size=self.cfg.train.eval_batch_size,
+                           forward=self.forward)
+        rec = {"step": s, "epoch": epoch,
+               "val_wer": res["wer"], "val_cer": res["cer"]}
+        if self.use_enhancer and self.cfg.train.objective != "paired":
+            # The decode AM is frozen for these objectives, so the noisy-input
+            # baseline is constant: compute it once, log it with every eval.
+            if self.noisy_wer is None:
+                if self._noisy_forward is None:
+                    self._noisy_forward = make_eval_forward(self.cfg,
+                                                            use_enhancer=False)
+                self.noisy_wer = evaluate_wer(
+                    self.cfg, am_p, self.ds,
+                    batch_size=self.cfg.train.eval_batch_size,
+                    forward=self._noisy_forward)["wer"]
+            rec["val_wer_noisy"] = self.noisy_wer
+        self.records.append(rec)
+        self.logger.log(s, **{k: v for k, v in rec.items() if k != "step"})
+
+        if res["wer"] < self.best_wer:
+            self.best_wer = res["wer"]
+            if self.checkpoint_dir:
+                import json
+
+                from aas_enhancement_tpu.utils import checkpoint as ckpt
+                if self._best_mgr is None:
+                    self._best_mgr = ckpt.make_manager(
+                        os.path.join(self.checkpoint_dir, "best_ckpt"),
+                        max_to_keep=1)
+                ckpt.save(self._best_mgr, s, jax.device_get(state))
+                with open(os.path.join(self.checkpoint_dir, "best.json"), "w") as f:
+                    json.dump({"step": s, "val_wer": res["wer"],
+                               "val_cer": res["cer"]}, f)
+        return rec
+
+    def close(self) -> None:
+        if self._best_mgr is not None:
+            self._best_mgr.wait_until_finished()
+            self._best_mgr.close()
+
+
 def _batch_dict(cfg: Config, batch, clean_stream: UnpairedCleanStream | None):
     d = {"wav": batch.wav, "wav_lengths": batch.wav_lengths,
          "labels": batch.labels, "label_paddings": batch.label_paddings}
@@ -120,13 +203,29 @@ def train(cfg: Config, noisy_manifest: str, clean_manifest: str | None = None,
           checkpoint_dir: str | None = None,
           resume: bool = False,
           state: TrainState | None = None,
-          step_fn: Callable | None = None) -> tuple[TrainState, list[dict]]:
-    """Run cfg.train.objective.  Returns (final_state, metric records)."""
+          step_fn: Callable | None = None,
+          eval_am_params=None) -> tuple[TrainState, list[dict]]:
+    """Run cfg.train.objective.  Returns (final_state, metric records).
+
+    When cfg.data.val_manifest is set, validation (greedy-decode WER through the
+    available AM — SURVEY.md §3.1/§3.2 "eval epoch" / "periodic ... dev set ->
+    AM decode -> WER") runs every cfg.train.eval_every steps (0 = each epoch
+    end), logs val_wer/val_cer, and keeps best-WER checkpoint selection.
+    `eval_am_params` supplies a decode-only AM for objectives that train without
+    one (paired/adversarial).
+    """
+    import dataclasses
+
     mesh = make_mesh(cfg.mesh)
     n_dev = len(mesh.devices.ravel())
 
     ds = AudioDataset(noisy_manifest, cfg.audio, cfg.data,
                       paired_manifest=clean_manifest if paired else None)
+    # The LR schedule anneals per epoch; fill in the dataset-derived epoch
+    # length before optimizers/steps are built (train/state.lr_schedule).
+    if cfg.train.steps_per_epoch == 0:
+        cfg = cfg.replace(train=dataclasses.replace(
+            cfg.train, steps_per_epoch=ds.num_batches(cfg.train.batch_size)))
     clean_stream = None
     if cfg.train.objective in ("adversarial", "aas"):
         clean_ds = AudioDataset(clean_manifest, cfg.audio, cfg.data)
@@ -168,20 +267,31 @@ def train(cfg: Config, noisy_manifest: str, clean_manifest: str | None = None,
     if cfg.data.use_grain:
         from aas_enhancement_tpu.data.grain_loader import grain_batches
 
-        def epoch_batches(epoch):
+        def epoch_batches(epoch, start=0):
             return grain_batches(ds, cfg.train.batch_size, cfg.train.seed, epoch,
-                                 worker_count=cfg.data.grain_workers)
+                                 worker_count=cfg.data.grain_workers,
+                                 sorted_order=cfg.train.sortagrad and epoch == 0,
+                                 start=start)
     else:
-        def epoch_batches(epoch):
-            return ds.batches(cfg.train.batch_size, cfg.train.seed, epoch)
+        def epoch_batches(epoch, start=0):
+            return ds.batches(cfg.train.batch_size, cfg.train.seed, epoch,
+                              sorted_order=cfg.train.sortagrad and epoch == 0,
+                              start=start)
 
+    # ------------------------------------------------------------- validation
+    validator = None
+    if cfg.data.val_manifest:
+        validator = _Validator(cfg, eval_am_params=eval_am_params,
+                               records=records, logger=logger,
+                               checkpoint_dir=checkpoint_dir)
+
+    last_logged = -1
     with mesh:
         for epoch in range(start_epoch, cfg.train.epochs):
             if done:
                 break
-            for i, batch in enumerate(epoch_batches(epoch)):
-                if epoch == start_epoch and i < skip:
-                    continue
+            offset = skip if epoch == start_epoch else 0
+            for i, batch in enumerate(epoch_batches(epoch, start=offset), start=offset):
                 bd = _batch_dict(cfg, batch, clean_stream)
                 bd = pad_batch_to_devices(bd, n_dev)
                 # Zero-weight repeat-padded rows (short final bucket batches and
@@ -199,22 +309,34 @@ def train(cfg: Config, noisy_manifest: str, clean_manifest: str | None = None,
                 state, aux = step(state, bd)
 
                 s = int(state.step)
-                if s % cfg.train.log_every == 0 or s == 1:
+                is_last = (max_steps and s >= max_steps) or (
+                    epoch == cfg.train.epochs - 1
+                    and i == cfg.train.steps_per_epoch - 1)
+                if s % cfg.train.log_every == 0 or s == 1 or is_last:
                     aux = {k: float(v) for k, v in aux.items()}
                     now = time.perf_counter()
-                    utts_sec = cfg.train.batch_size * cfg.train.log_every / max(
+                    utts_sec = cfg.train.batch_size * (s - max(last_logged, 0)) / max(
                         now - t_last, 1e-9) if s > 1 else 0.0
                     t_last = now
                     rec = {"step": s, "epoch": epoch, "utts_per_sec": utts_sec, **aux}
                     records.append(rec)
                     logger.log(s, **{k: v for k, v in rec.items() if k != "step"})
+                    last_logged = s
                 if mgr and s % cfg.train.checkpoint_every == 0:
                     from aas_enhancement_tpu.utils import checkpoint as ckpt
                     ckpt.save(mgr, s, jax.device_get(state))
+                if validator and cfg.train.eval_every and s % cfg.train.eval_every == 0:
+                    validator.run(state, s, epoch)
                 if max_steps and s >= max_steps:
                     done = True
                     break
+            if validator and not cfg.train.eval_every:
+                validator.run(state, int(state.step), epoch)
 
+    if validator:
+        if int(state.step) != validator.last_eval_step:
+            validator.run(state, int(state.step), cfg.train.epochs - 1)
+        validator.close()
     if mgr:
         from aas_enhancement_tpu.utils import checkpoint as ckpt
         ckpt.save(mgr, int(state.step), jax.device_get(state))

@@ -36,16 +36,34 @@ class TrainState:
     am_opt: Any = flax.struct.field(default_factory=dict)      # used only in AM pretrain
 
 
+def lr_schedule(cfg: Config, base_lr: float):
+    """Per-epoch staircase anneal: lr / lr_anneal**epoch (deepspeech recipe,
+    SURVEY.md §2 'Train: acoustic model' — "LR anneal").
+
+    Always returns a callable so the optimizer state structure (schedule step
+    count) is identical whether or not annealing is enabled.  The epoch length
+    comes from cfg.train.steps_per_epoch, which the train loop fills in from the
+    dataset before building optimizers; 0 (unknown) means constant LR.
+    """
+    t = cfg.train
+    spe = t.steps_per_epoch
+    if t.lr_anneal == 1.0 or spe <= 0:
+        return optax.constant_schedule(base_lr)
+    return lambda count: base_lr / (t.lr_anneal ** (count // spe))
+
+
 def g_optimizer(cfg: Config) -> optax.GradientTransformation:
     t = cfg.train
     return optax.chain(optax.clip_by_global_norm(t.max_grad_norm),
-                       optax.adam(t.lr_g, b1=t.adam_b1, b2=t.adam_b2))
+                       optax.adam(lr_schedule(cfg, t.lr_g),
+                                  b1=t.adam_b1, b2=t.adam_b2))
 
 
 def d_optimizer(cfg: Config) -> optax.GradientTransformation:
     t = cfg.train
     return optax.chain(optax.clip_by_global_norm(t.max_grad_norm),
-                       optax.adam(t.lr_d, b1=t.adam_b1, b2=t.adam_b2))
+                       optax.adam(lr_schedule(cfg, t.lr_d),
+                                  b1=t.adam_b1, b2=t.adam_b2))
 
 
 def am_optimizer(cfg: Config) -> optax.GradientTransformation:
@@ -53,4 +71,5 @@ def am_optimizer(cfg: Config) -> optax.GradientTransformation:
     SURVEY.md §2 'Train: acoustic model')."""
     t = cfg.train
     return optax.chain(optax.clip_by_global_norm(t.max_grad_norm),
-                       optax.sgd(t.lr_am, momentum=t.momentum, nesterov=True))
+                       optax.sgd(lr_schedule(cfg, t.lr_am),
+                                 momentum=t.momentum, nesterov=True))

@@ -6,14 +6,25 @@
 // Algorithm: prefix beam search over (blank, non-blank) probability pairs
 // (Hannun et al. 2014), log-domain, with per-step top-k symbol pruning.
 //
-// KenLM fusion is intentionally out of scope (KenLM is absent from this image);
-// the alpha/beta parameters are reserved so an external scorer can slot in.
+// LM shallow fusion (the reference's KenLM-fusion equivalent; KenLM is absent
+// from this image so the scorer is a char n-gram LM — decode/lm.py): the LM is
+// handed over as a DENSE table logp[ctx * v + c] of shape [v^(order-1), v].
+// The context index contract is shared with decode/lm.py: big-endian digits of
+// the last (order-1) symbol ids, BOS-padded with the blank id 0 (blank never
+// appears inside a prefix).  Each prefix extension by symbol c adds
+//   alpha * lm[ctx(prefix) * v + c] + beta
+// to the extension's log probability (score applied once per appended symbol).
 //
 // C ABI (used from Python via ctypes, see aas_enhancement_tpu/decode/beam.py):
 //   int ctc_beam_search(const float* log_probs, int t, int v,
 //                       int beam_width, int blank, int prune_k,
 //                       int* out_ids, int max_out, float* out_score);
-// Returns the decoded length (<= max_out), or -1 on error.
+//   int ctc_beam_search_lm(const float* log_probs, int t, int v,
+//                          int beam_width, int blank, int prune_k,
+//                          const float* lm_table, int lm_order,
+//                          float alpha, float beta,
+//                          int* out_ids, int max_out, float* out_score);
+// Return the decoded length (<= max_out), or -1 on error.
 
 #include <algorithm>
 #include <cmath>
@@ -55,12 +66,27 @@ inline int32_t LastSym(const std::string& prefix) {
   return sym;
 }
 
-}  // namespace
+// Dense-table row for a prefix: big-endian digits of its last (order-1) ids,
+// BOS-padded with 0 (contract shared with decode/lm.py::context_index).
+inline int64_t ContextIndex(const std::string& prefix, int order, int v) {
+  const int m = order - 1;
+  if (m <= 0) return 0;
+  const int n = static_cast<int>(prefix.size() / sizeof(int32_t));
+  const int32_t* ids = reinterpret_cast<const int32_t*>(prefix.data());
+  int64_t idx = 0;
+  for (int j = n - m; j < n; ++j) {
+    const int64_t sym = j >= 0 ? ids[j] : 0;
+    idx = idx * v + sym;
+  }
+  return idx;
+}
 
-extern "C" int ctc_beam_search(const float* log_probs, int t, int v,
-                               int beam_width, int blank, int prune_k,
-                               int* out_ids, int max_out, float* out_score) {
+int BeamSearchImpl(const float* log_probs, int t, int v, int beam_width,
+                   int blank, int prune_k, const float* lm_table, int lm_order,
+                   float alpha, float beta, int* out_ids, int max_out,
+                   float* out_score) {
   if (t < 0 || v <= 0 || beam_width <= 0 || blank < 0 || blank >= v) return -1;
+  if (lm_table != nullptr && lm_order < 1) return -1;
 
   std::unordered_map<std::string, Hyp> beams;
   beams[std::string()] = Hyp{0.0f, kNegInf};
@@ -84,6 +110,8 @@ extern "C" int ctc_beam_search(const float* log_probs, int t, int v,
     for (const auto& [prefix, hyp] : beams) {
       const float total = hyp.Total();
       const int32_t last = LastSym(prefix);
+      const int64_t ctx =
+          lm_table ? ContextIndex(prefix, lm_order, v) * v : 0;
 
       // Blank extends the same prefix.
       {
@@ -97,16 +125,19 @@ extern "C" int ctc_beam_search(const float* log_probs, int t, int v,
         if (c == blank) continue;
         if (c == last) last_seen = true;
         const float p = lp[c];
+        // Shallow fusion: LM score applies once per symbol APPENDED to the
+        // prefix (extension paths), never to same-prefix repeat mass.
+        const float lm_bonus = lm_table ? alpha * lm_table[ctx + c] + beta : 0.0f;
         if (c == last) {
           // Repeat symbol: staying in the same prefix needs a non-blank tail;
           // extending needs a blank separator.
           Hyp& same = next[prefix];
           same.p_nb = LogSumExp(same.p_nb, hyp.p_nb + p);
           Hyp& ext = next[Extend(prefix, c)];
-          ext.p_nb = LogSumExp(ext.p_nb, hyp.p_b + p);
+          ext.p_nb = LogSumExp(ext.p_nb, hyp.p_b + p + lm_bonus);
         } else {
           Hyp& ext = next[Extend(prefix, c)];
-          ext.p_nb = LogSumExp(ext.p_nb, total + p);
+          ext.p_nb = LogSumExp(ext.p_nb, total + p + lm_bonus);
         }
       }
       // If pruning dropped the repeat symbol, the same-prefix non-blank mass
@@ -154,4 +185,23 @@ extern "C" int ctc_beam_search(const float* log_probs, int t, int v,
   for (int i = 0; i < n_out; ++i) out_ids[i] = ids[i];
   if (out_score) *out_score = best_score;
   return n_out;
+}
+
+}  // namespace
+
+extern "C" int ctc_beam_search(const float* log_probs, int t, int v,
+                               int beam_width, int blank, int prune_k,
+                               int* out_ids, int max_out, float* out_score) {
+  return BeamSearchImpl(log_probs, t, v, beam_width, blank, prune_k,
+                        /*lm_table=*/nullptr, /*lm_order=*/0, 0.0f, 0.0f,
+                        out_ids, max_out, out_score);
+}
+
+extern "C" int ctc_beam_search_lm(const float* log_probs, int t, int v,
+                                  int beam_width, int blank, int prune_k,
+                                  const float* lm_table, int lm_order,
+                                  float alpha, float beta, int* out_ids,
+                                  int max_out, float* out_score) {
+  return BeamSearchImpl(log_probs, t, v, beam_width, blank, prune_k, lm_table,
+                        lm_order, alpha, beta, out_ids, max_out, out_score);
 }

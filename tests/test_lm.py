@@ -1,0 +1,126 @@
+"""Char n-gram LM + beam-search shallow fusion (SURVEY.md §2 "NATIVE: ctcdecode"
+— the reference decodes beam + KenLM; the rebuild's scorer is a char n-gram)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from aas_enhancement_tpu.decode.beam import (beam_search_native,
+                                             beam_search_python, beam_decode)
+from aas_enhancement_tpu.decode.lm import CharNGramLM, context_index
+from aas_enhancement_tpu.labels import LABELS, encode
+
+
+@pytest.fixture(scope="module")
+def lm():
+    texts = ["THE CAT SAT ON THE MAT", "THE DOG ATE THE FOOD",
+             "A CAT AND A DOG", "THE THEME OF THE DAY"] * 3
+    return CharNGramLM(order=3).fit_texts(texts)
+
+
+def test_lm_probabilities_normalize(lm):
+    table = lm.dense_table()
+    v = len(LABELS)
+    assert table.shape == (v * v, v)
+    # For a context that was observed with no backoff need, probs sum to <= 1
+    # and the top continuation is the corpus continuation: "TH" -> "E".
+    t, h, e = encode("THE")
+    ctx = context_index([t, h], 3, v)
+    assert int(np.argmax(table[ctx])) == e
+    # Observed rows are proper distributions over their seen support.
+    seen = np.exp(table[ctx])
+    assert seen.sum() <= 1.5  # backoff floor mass can push slightly over 1
+
+
+def test_context_index_contract():
+    v = len(LABELS)
+    # BOS padding with 0
+    assert context_index([], 3, v) == 0
+    assert context_index([5], 3, v) == 5
+    assert context_index([5, 7], 3, v) == 5 * v + 7
+    assert context_index([1, 5, 7], 3, v) == 5 * v + 7  # only last order-1 kept
+    assert context_index([9, 9], 1, v) == 0
+
+
+def test_save_load_roundtrip(lm, tmp_path):
+    path = str(tmp_path / "lm.json")
+    lm.save(path)
+    lm2 = CharNGramLM.load(path)
+    np.testing.assert_allclose(lm.dense_table(), lm2.dense_table(), rtol=1e-6)
+
+
+def _ambiguous_logits(lm):
+    """Acoustically ambiguous evidence: 'TH?' where ? is slightly in favor of Q
+    over E.  The LM knows 'THE'; alpha>0 must rescue the decode."""
+    v = len(LABELS)
+    t, h, e = encode("THE")
+    (q,) = encode("Q")
+    blank = 0
+    logits = np.full((6, v), -12.0, np.float32)
+    logits[0, t] = 0.0
+    logits[1, blank] = 0.0
+    logits[2, h] = 0.0
+    logits[3, blank] = 0.0
+    logits[4, q] = math.log(0.52)
+    logits[4, e] = math.log(0.46)
+    logits[5, blank] = 0.0
+    # normalize rows to proper log-probs
+    lp = logits - np.log(np.sum(np.exp(logits), axis=1, keepdims=True))
+    return lp.astype(np.float32), (t, h, e, q)
+
+
+def test_lm_rescues_ambiguous_decode(lm):
+    lp, (t, h, e, q) = _ambiguous_logits(lm)
+    no_lm = beam_decode(lp[None], beam_width=8)[0]
+    assert no_lm == "THQ"
+    fused = beam_decode(lp[None], beam_width=8, lm=lm, lm_alpha=0.8)[0]
+    assert fused == "THE", f"LM fusion failed to rescue: {fused!r}"
+
+
+def test_native_matches_python_with_lm(lm):
+    rng = np.random.default_rng(3)
+    v = len(LABELS)
+    logits = rng.standard_normal((20, v)).astype(np.float32) * 2.0
+    lp = logits - np.log(np.sum(np.exp(logits), axis=1, keepdims=True))
+    table = lm.dense_table()
+    kw = dict(beam_width=12, prune_k=8, lm_table=table, lm_order=lm.order,
+              lm_alpha=0.6, lm_beta=0.1)
+    nat = beam_search_native(lp, **kw)
+    assert nat is not None, "native decoder unavailable"
+    py = beam_search_python(lp, **kw)
+    assert nat[0] == py[0]
+    assert nat[1] == pytest.approx(py[1], rel=1e-4)
+
+
+def test_beam_decode_beta_bonus_lengthens(lm):
+    """A large per-symbol insertion bonus must not crash and tends to prefer
+    longer hypotheses (sanity of the beta path)."""
+    rng = np.random.default_rng(0)
+    v = len(LABELS)
+    logits = rng.standard_normal((15, v)).astype(np.float32)
+    lp = logits - np.log(np.sum(np.exp(logits), axis=1, keepdims=True))
+    short = beam_decode(lp[None], beam_width=8, lm=lm, lm_alpha=0.01,
+                        lm_beta=-2.0)[0]
+    long = beam_decode(lp[None], beam_width=8, lm=lm, lm_alpha=0.01,
+                       lm_beta=2.0)[0]
+    assert len(long) >= len(short)
+
+
+def test_from_manifests(tmp_path):
+    import csv
+    wav = tmp_path / "a.wav"
+    wav.write_bytes(b"")
+    txts = []
+    for i, text in enumerate(["HELLO WORLD", "HELLO AGAIN"]):
+        t = tmp_path / f"{i}.txt"
+        t.write_text(text)
+        txts.append(t)
+    manifest = tmp_path / "m.csv"
+    with open(manifest, "w", newline="") as f:
+        w = csv.writer(f)
+        for t in txts:
+            w.writerow([str(wav), str(t)])
+    lm = CharNGramLM.from_manifests(str(manifest), order=2)
+    h, e = encode("HE")
+    assert lm.logp(e, [h]) > lm.logp(encode("Z")[0], [h])
