@@ -51,6 +51,9 @@ def main(argv=None) -> None:
                         "chunk+lookahead latency) instead of whole-utterance")
     p.add_argument("--chunk-seconds", type=float, default=1.0)
     p.add_argument("--lookahead-seconds", type=float, default=0.2)
+    p.add_argument("--history-seconds", type=float, default=1.0,
+                   help="left context per block (warm fwd-BLSTM state; "
+                        "adds compute, not latency)")
     args = p.parse_args(argv)
 
     from aas_enhancement_tpu.utils import jax_cache
@@ -96,7 +99,8 @@ def main(argv=None) -> None:
         if args.streaming:
             from aas_enhancement_tpu.streaming import enhance_stream
             enhanced = np.concatenate(list(enhance_stream(
-                cfg, params, wav, args.chunk_seconds, args.lookahead_seconds)))
+                cfg, params, wav, args.chunk_seconds, args.lookahead_seconds,
+                args.history_seconds)))
         else:
             padded_n = _bucket_length(n, buckets)
             x = np.zeros(padded_n, np.float32)

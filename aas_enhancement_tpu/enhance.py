@@ -59,6 +59,64 @@ def make_enhance_fn(cfg: Config):
     return enhance
 
 
+def make_streaming_enhance_fn(cfg: Config):
+    """Streaming variant of make_enhance_fn with RUNNING normalization stats.
+
+    Training/offline inference normalizes log-magnitudes with per-UTTERANCE
+    mean/std (ops/masking.masked_normalize); a streamed chunk cannot see the
+    whole utterance, so the host carries running scalar moments across blocks
+    and this program normalizes with (running + current block) statistics —
+    converging to the offline regime as the stream progresses instead of
+    re-normalizing every window from scratch.
+
+    fn(params, wav [B, n], lengths [B], stats_start, run_sum, run_sumsq,
+       run_count) -> (enhanced [B, n], block_sum, block_sumsq, block_count)
+
+    stats_start: frame index where NEW frames begin (frames before it are
+    history already folded into the running moments — or synthetic leading
+    silence on the first block — and must not be double-counted).  The
+    returned block moments cover [stats_start, frame_length) and are the
+    host's next running-stats increment.
+    """
+    from aas_enhancement_tpu.ops.masking import time_mask
+
+    a = cfg.audio
+    model = Enhancer(cfg.enhancer)
+
+    @jax.jit
+    def enhance(params, wav, lengths, stats_start, run_sum, run_sumsq, run_count):
+        re, im = dsp_api.stft(a, wav)
+        mag = magnitude(re, im)
+        ph = phase(re, im)
+        log_mag = jnp.log1p(mag)
+        frame_lengths = 1 + lengths // a.hop_length if a.center else (
+            1 + (lengths - a.n_fft) // a.hop_length)
+        t_max = log_mag.shape[1]
+        n_bins = log_mag.shape[2]
+
+        valid = time_mask(frame_lengths, t_max)            # [B, T]
+        t_idx = jnp.arange(t_max, dtype=jnp.int32)[None, :]
+        new = valid * (t_idx >= stats_start)               # frames to count
+        new_f = new[:, :, None]
+        b_sum = jnp.sum(log_mag * new_f)
+        b_sumsq = jnp.sum((log_mag ** 2) * new_f)
+        b_count = jnp.sum(new) * n_bins
+
+        tot = jnp.maximum(run_count + b_count, 1.0)
+        mean = (run_sum + b_sum) / tot
+        var = jnp.maximum((run_sumsq + b_sumsq) / tot - mean ** 2, 0.0)
+        if a.normalize:
+            net_in = ((log_mag - mean) / jnp.sqrt(var + 1e-5)) * valid[:, :, None]
+        else:
+            net_in = log_mag
+        out = model.apply(params, net_in, frame_lengths)
+        enhanced_mag = apply_enhancement(cfg.enhancer, out, mag)
+        wav_out = dsp_api.reconstruct(a, enhanced_mag, ph, length=wav.shape[-1])
+        return wav_out, b_sum, b_sumsq, b_count
+
+    return enhance
+
+
 def enhance_utterance(cfg: Config, params, wav: np.ndarray) -> np.ndarray:
     """Single-utterance convenience wrapper (driver config 1, BASELINE.json:7)."""
     fn = make_enhance_fn(cfg)

@@ -22,10 +22,13 @@ from aas_enhancement_tpu.config import MeshConfig
 def maybe_init_distributed() -> None:
     """Multi-host (DCN) initialization hook.
 
-    Single-host v5e-8 is the in-scope target (SURVEY.md §5); on a multi-host pod
-    slice, calling this before any jax use (JAX_COORDINATOR_ADDRESS etc. set by
-    the launcher) makes jax.devices() span all hosts and the same Mesh code path
-    shards over DCN+ICI with no other changes.
+    Single-host v5e-8 is the in-scope target (SURVEY.md §5).  On a multi-host
+    pod slice, calling this before any jax use (JAX_COORDINATOR_ADDRESS etc.
+    set by the launcher) makes jax.devices() span all hosts; shard_batch then
+    feeds each process's LOCAL rows via make_array_from_process_local_data, so
+    the same Mesh code path shards over DCN+ICI.  (Each process still composes
+    the full global batch deterministically and slices its own rows — decode
+    work is duplicated across hosts, correctness is not affected.)
     """
     import os
 
@@ -58,10 +61,36 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def process_local_rows(v, process_count: int, process_index: int):
+    """The rows of a global batch that belong to one process (contiguous
+    row-block layout, matching a 1-D data-axis NamedSharding over hosts)."""
+    g = v.shape[0]
+    if g % process_count:
+        raise ValueError(f"global batch {g} not divisible by "
+                         f"{process_count} processes")
+    per = g // process_count
+    return v[process_index * per: (process_index + 1) * per]
+
+
 def shard_batch(mesh: Mesh, batch: dict[str, Any]) -> dict[str, Any]:
-    """Host batch dict -> device arrays with the batch dim over the data axis."""
+    """Host batch dict -> device arrays with the batch dim over the data axis.
+
+    Multi-host: every process composes the same global batch (the pipeline is
+    deterministic), then contributes only its local row-block through
+    jax.make_array_from_process_local_data — no host ever device_puts rows it
+    does not own (SURVEY.md §5 "Distributed comm backend").
+    """
     sh = batch_sharding(mesh)
-    return {k: jax.device_put(v, sh) for k, v in batch.items() if v is not None}
+    if jax.process_count() == 1:
+        return {k: jax.device_put(v, sh) for k, v in batch.items() if v is not None}
+    out = {}
+    pc, pi = jax.process_count(), jax.process_index()
+    for k, v in batch.items():
+        if v is None:
+            continue
+        local = np.ascontiguousarray(process_local_rows(np.asarray(v), pc, pi))
+        out[k] = jax.make_array_from_process_local_data(sh, local, v.shape)
+    return out
 
 
 def replicate_state(mesh: Mesh, state: Any) -> Any:

@@ -4,56 +4,68 @@ The reference enhances offline, whole utterances at a time (SURVEY.md §3.3); th
 north star additionally asks for sub-real-time STREAMING enhancement
 (BASELINE.json:5).  TPU-first design:
 
-- Audio is processed in fixed-size chunks (one XLA program, compiled once) with a
-  lookahead tail: chunk t is enhanced using [chunk_t, chunk_{t+lookahead}] context,
-  and only chunk_t's samples are emitted.  This is the standard block-bidirectional
-  approximation — the BLSTM's backward direction sees `lookahead` seconds of future
-  instead of the full utterance.
-- Latency = chunk + lookahead seconds; throughput is the fused STFT->G->ISTFT
-  program, thousands of times faster than real time on v5e, so RTF << 1 by a wide
-  margin even at small chunks.
-- Overlap-add on the waveform seam is unnecessary: ISTFT edge effects are confined
-  to n_fft samples, covered by the lookahead margin.
+- Audio is processed in fixed-size blocks (one XLA program, compiled once) of
+  [history | chunk | lookahead]: chunk t is enhanced with `history` seconds of
+  already-seen left context (so the BLSTM's FORWARD direction is warm, not reset
+  at the chunk boundary) and `lookahead` seconds of future context (the standard
+  block-bidirectional approximation for the backward direction).  Only chunk t's
+  samples are emitted.
+- Normalization parity: training normalizes log-magnitudes per full utterance;
+  each block here is normalized with RUNNING moments carried across the stream
+  (all frames seen so far, current block included), converging to the offline
+  regime instead of re-normalizing every window from scratch.
+- Latency = chunk + lookahead seconds (history adds compute, not latency);
+  throughput is the fused STFT->G->ISTFT program, thousands of times faster than
+  real time on v5e, so RTF << 1 by a wide margin even at small chunks.
+- Overlap-add on the waveform seam is unnecessary: ISTFT edge effects are
+  confined to n_fft samples, covered by the history/lookahead margins.
 """
 
 from __future__ import annotations
 
 from typing import Iterator
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
 from aas_enhancement_tpu.config import Config
-from aas_enhancement_tpu.enhance import make_enhance_fn
+from aas_enhancement_tpu.enhance import make_streaming_enhance_fn
 
 
 class StreamingEnhancer:
     """Stateful chunk-wise enhancer: feed samples, receive enhanced samples.
 
     chunk_seconds of audio are emitted at a time, each enhanced with
-    lookahead_seconds of future context (algorithmic latency = chunk + lookahead).
+    history_seconds of past and lookahead_seconds of future context
+    (algorithmic latency = chunk + lookahead; history is free context).
     """
 
     def __init__(self, cfg: Config, params, chunk_seconds: float = 1.0,
-                 lookahead_seconds: float = 0.2):
+                 lookahead_seconds: float = 0.2, history_seconds: float = 1.0):
         self.cfg = cfg
         self.params = params
         sr = cfg.audio.sample_rate
         self.chunk = int(chunk_seconds * sr)
         self.lookahead = int(lookahead_seconds * sr)
-        self._fn = make_enhance_fn(cfg)
+        self.history = int(history_seconds * sr)
+        self._fn = make_streaming_enhance_fn(cfg)
         self._buf = np.zeros(0, np.float32)
-        self._window = self.chunk + self.lookahead
+        # Left context: starts as synthetic silence (first block's history
+        # frames are excluded from the running stats via stats_start).
+        self._hist = np.zeros(self.history, np.float32)
+        self._window = self.history + self.chunk + self.lookahead
+        self._sum = 0.0
+        self._sumsq = 0.0
+        self._count = 0.0
 
     def feed(self, samples: np.ndarray) -> np.ndarray:
         """Append input samples; returns whatever enhanced samples are ready."""
         self._buf = np.concatenate([self._buf, samples.astype(np.float32)])
         out = []
-        while len(self._buf) >= self._window:
-            block = self._buf[: self._window]
-            enhanced = self._run(block)
-            out.append(enhanced[: self.chunk])
+        while len(self._buf) >= self.chunk + self.lookahead:
+            enhanced = self._run(self._buf[: self.chunk + self.lookahead])
+            out.append(enhanced[self.history: self.history + self.chunk])
+            self._roll_history(self._buf[: self.chunk])
             self._buf = self._buf[self.chunk:]
         return np.concatenate(out) if out else np.zeros(0, np.float32)
 
@@ -62,26 +74,50 @@ class StreamingEnhancer:
         if len(self._buf) == 0:
             return np.zeros(0, np.float32)
         n = len(self._buf)
-        block = np.zeros(self._window, np.float32)
-        block[:n] = self._buf
+        enhanced = self._run(self._buf)
+        self._roll_history(self._buf)
         self._buf = np.zeros(0, np.float32)
-        # Only the n real samples are valid — the zero tail must not dilute the
-        # per-utterance normalization statistics.
-        return self._run(block, valid=n)[:n]
+        return enhanced[self.history: self.history + n]
 
-    def _run(self, block: np.ndarray, valid: int | None = None) -> np.ndarray:
-        x = jnp.asarray(block)[None]
-        lengths = jnp.array([valid if valid is not None else len(block)], jnp.int32)
-        return np.asarray(self._fn(self.params, x, lengths)[0])
+    # ------------------------------------------------------------- internals
+    def _roll_history(self, consumed: np.ndarray) -> None:
+        if self.history == 0:
+            return
+        self._hist = np.concatenate([self._hist, consumed])[-self.history:]
+
+    def _run(self, new: np.ndarray) -> np.ndarray:
+        hop = self.cfg.audio.hop_length
+        block = np.zeros(self._window, np.float32)
+        block[: self.history] = self._hist
+        block[self.history: self.history + len(new)] = new
+        valid = self.history + len(new)
+        # Frames wholly before the first NEW sample are history (already in the
+        # running moments) or synthetic silence — exclude from this block's
+        # stats increment.  Frame f covers samples starting near f*hop (center
+        # padding shifts by n_fft//2, a sub-frame offset we absorb here).
+        stats_start = self.history // hop
+        wav_out, s, ss, n = self._fn(
+            self.params, jnp.asarray(block)[None],
+            jnp.array([valid], jnp.int32),
+            jnp.asarray(stats_start, jnp.int32),
+            jnp.asarray(self._sum, jnp.float32),
+            jnp.asarray(self._sumsq, jnp.float32),
+            jnp.asarray(self._count, jnp.float32))
+        self._sum += float(s)
+        self._sumsq += float(ss)
+        self._count += float(n)
+        return np.asarray(wav_out[0])
 
 
 def enhance_stream(cfg: Config, params, samples: np.ndarray,
                    chunk_seconds: float = 1.0,
                    lookahead_seconds: float = 0.2,
+                   history_seconds: float = 1.0,
                    feed_seconds: float = 0.1) -> Iterator[np.ndarray]:
     """Convenience generator: stream a full waveform through StreamingEnhancer in
     feed_seconds-sized pushes (simulating a live capture source)."""
-    eng = StreamingEnhancer(cfg, params, chunk_seconds, lookahead_seconds)
+    eng = StreamingEnhancer(cfg, params, chunk_seconds, lookahead_seconds,
+                            history_seconds)
     step = int(feed_seconds * cfg.audio.sample_rate)
     for i in range(0, len(samples), step):
         out = eng.feed(samples[i: i + step])

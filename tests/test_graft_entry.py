@@ -57,3 +57,14 @@ def test_pad_batch_shortfall_exceeding_batch():
     assert padded["x"].shape == (8, 3)
     np.testing.assert_array_equal(padded["x"][2], b["x"][0])
     np.testing.assert_array_equal(padded["x"][7], b["x"][1])
+
+
+def test_process_local_rows_partition():
+    """Multi-host input sharding contract: the per-process row blocks exactly
+    tile the global batch, in order."""
+    from aas_enhancement_tpu.parallel.mesh import process_local_rows
+    g = np.arange(24, dtype=np.float32).reshape(8, 3)
+    parts = [process_local_rows(g, 4, i) for i in range(4)]
+    np.testing.assert_array_equal(np.concatenate(parts), g)
+    with pytest.raises(ValueError, match="not divisible"):
+        process_local_rows(g, 3, 0)

@@ -57,3 +57,45 @@ def test_incremental_feed_equals_bulk(setup):
     eng2 = StreamingEnhancer(cfg, params, chunk_seconds=0.5, lookahead_seconds=0.1)
     bulk = np.concatenate([eng2.feed(wav), eng2.flush()])
     np.testing.assert_allclose(incremental, bulk, atol=1e-6)
+
+
+def test_history_improves_offline_agreement(setup):
+    """Left context + running normalization (round-2 redesign) must track the
+    offline result more closely than the zero-history configuration."""
+    cfg, params = setup
+    wav = synth_utterance("THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG", seed=5)
+    offline = enhance_utterance(cfg, params, wav)
+
+    def corr(history):
+        streamed = np.concatenate(list(enhance_stream(
+            cfg, params, wav, chunk_seconds=0.5, lookahead_seconds=0.2,
+            history_seconds=history)))
+        return np.corrcoef(offline, streamed)[0, 1]
+
+    c_none, c_hist = corr(0.0), corr(1.0)
+    assert c_hist > 0.97, f"history streaming far from offline: {c_hist}"
+    assert c_hist >= c_none - 1e-3, (
+        f"history made agreement worse: {c_none} -> {c_hist}")
+
+
+def test_streaming_stats_converge_to_offline(setup):
+    """The running normalization moments must approach the full-utterance
+    moments used offline."""
+    import jax.numpy as jnp
+    from aas_enhancement_tpu.streaming import StreamingEnhancer
+    from aas_enhancement_tpu.train.objectives import device_features
+
+    cfg, params = setup
+    rng = np.random.default_rng(9)
+    wav = (rng.standard_normal(48000) * 0.1).astype(np.float32)
+    eng = StreamingEnhancer(cfg, params, chunk_seconds=0.5,
+                            lookahead_seconds=0.1, history_seconds=0.5)
+    eng.feed(wav)
+    eng.flush()
+    stream_mean = eng._sum / eng._count
+
+    _, log_mag, fl = device_features(cfg, jnp.asarray(wav)[None],
+                                     jnp.array([len(wav)], np.int32))
+    offline_mean = float(np.sum(np.asarray(log_mag)[0][: int(fl[0])])
+                         / (int(fl[0]) * log_mag.shape[2]))
+    assert abs(stream_mean - offline_mean) < 0.05 * max(abs(offline_mean), 0.1)
