@@ -1,12 +1,17 @@
-"""STFT/ISTFT dispatcher: pure-JAX vs fused Pallas behind one call site.
+"""STFT/ISTFT dispatcher: XLA matmul-DFT vs Pallas kernels behind one call site.
 
-AudioConfig.stft_impl selects: "jax" (always works), "pallas" (requires
-n_fft == 2*hop and a TPU backend), or "auto" (pallas on TPU when eligible).
+AudioConfig.stft_impl selects: "jax"/"auto" (the segment matmul-DFT in
+dsp/stft.py — the production path) or "pallas" (the fused kernels in
+ops/pallas/stft_kernel.py; requires n_fft == 2*hop).
+
+Round-2 profiling (BASELINE.md) moved the default OFF the Pallas kernels: the
+plain-XLA segment matmul-DFT runs the same MXU math but fuses into the
+surrounding jitted program (train step / enhance graph), while a pallas_call is
+a fusion boundary with its own pipeline overhead — measured ~45x slower at the
+bench shape (B=64 x 8 s).  The kernels remain available for comparison.
 """
 
 from __future__ import annotations
-
-import jax
 
 from aas_enhancement_tpu.config import AudioConfig
 from aas_enhancement_tpu.dsp.stft import istft as _istft_jax, stft as _stft_jax
@@ -15,20 +20,11 @@ from aas_enhancement_tpu.ops.pallas import stft_kernel as _pallas_impl
 
 def _use_pallas(a: AudioConfig) -> bool:
     impl = getattr(a, "stft_impl", "auto")
-    if impl == "jax":
-        return False
-    eligible = a.n_fft == 2 * a.hop_length
     if impl == "pallas":
-        if not eligible:
+        if a.n_fft != 2 * a.hop_length:
             raise ValueError("stft_impl=pallas requires n_fft == 2*hop_length")
         return True
-    # auto: fused kernels on TPU only (interpret-mode Pallas on CPU is slow).
-    # The axon tunnel registers the TPU backend under its own platform name, so
-    # check the device kind rather than the backend string.
-    if not eligible:
-        return False
-    dev = jax.devices()[0]
-    return "tpu" in (dev.platform + " " + getattr(dev, "device_kind", "")).lower()
+    return False
 
 
 def stft(a: AudioConfig, x):

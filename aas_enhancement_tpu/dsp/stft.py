@@ -3,15 +3,27 @@
 TPU-native replacement for the reference's librosa/scipy STFT pipeline
 (SURVEY.md §2 "STFT featurizer", "ISTFT / overlap-add reconstruction"):
 
-- wav -> framed, windowed, rFFT -> magnitude -> log1p spectrogram, optionally
+- wav -> framed, windowed, rDFT -> magnitude -> log1p spectrogram, optionally
   per-utterance normalized (reference parity: deepspeech-style log1p + mean/std norm).
-- ISTFT: enhanced magnitude recombined with the NOISY phase, inverse rFFT per frame,
+- ISTFT: enhanced magnitude recombined with the NOISY phase, inverse rDFT per frame,
   windowed overlap-add with window-square COLA normalization (BASELINE.json:5
   "ISTFT overlap-add reconstruction ... using the noisy phase").
 
+TPU-first implementation notes (round-2 profiling, BASELINE.md):
+- The transform is a MATMUL against DFT bases, not an FFT: at speech n_fft
+  (~320) the MXU matmul beats jnp.fft's butterfly lowering by ~40x on TPU.
+- When hop divides n_fft (the standard 50%-overlap config), framing is k = n_fft/hop
+  hop-wide ROW SLICES of the reshaped signal — no [T, n_fft] gather — and the DFT
+  is k window-folded segment matmuls summed.  Overlap-add is the mirror image:
+  k static slice-adds, no scatter.  Everything is plain XLA, so it FUSES into the
+  surrounding train/inference program (a pallas_call boundary cannot).
+- When hop does not divide n_fft, the gather/scatter fallback below keeps the API
+  total.
+
 Everything here is jittable with static shapes; batch versions operate on padded
 [B, num_samples] with length masks.  A fused Pallas matmul-DFT implementation lives in
-ops/pallas/stft_kernel.py behind the same API (SURVEY.md §7 step 1/8).
+ops/pallas/stft_kernel.py behind the same API (kept for comparison; the XLA path
+above measures faster end-to-end because it fuses — see BASELINE.md).
 """
 
 from __future__ import annotations
@@ -21,6 +33,18 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+_DOT_KW = dict(preferred_element_type=jnp.float32,
+               precision=jax.lax.Precision.HIGHEST)
+
+
+@functools.lru_cache(maxsize=8)
+def _dft_bases_np(n_fft: int) -> tuple[np.ndarray, np.ndarray]:
+    """Real-DFT bases [n_fft, n_fft//2+1] (rfft convention: cos, -sin)."""
+    n = np.arange(n_fft)[:, None]
+    k = np.arange(n_fft // 2 + 1)[None, :]
+    ang = 2.0 * np.pi * n * k / n_fft
+    return np.cos(ang).astype(np.float32), (-np.sin(ang)).astype(np.float32)
 
 
 def get_window(name: str, n: int) -> np.ndarray:
@@ -54,10 +78,52 @@ def frame_signal(x: jnp.ndarray, n_fft: int, hop_length: int, center: bool = Tru
 def stft(x: jnp.ndarray, n_fft: int, hop_length: int, window: str = "hann",
          center: bool = True) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Real STFT. [..., num_samples] -> (real, imag) each [..., T, n_fft//2+1]."""
+    x = x.astype(jnp.float32)
+    if n_fft % hop_length == 0:
+        return _stft_segments(x, n_fft, hop_length, window, center)
     win = jnp.asarray(get_window(window, n_fft))
-    frames = frame_signal(x.astype(jnp.float32), n_fft, hop_length, center) * win
+    frames = frame_signal(x, n_fft, hop_length, center) * win
     spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
     return jnp.real(spec).astype(jnp.float32), jnp.imag(spec).astype(jnp.float32)
+
+
+def _stft_segments(x: jnp.ndarray, n_fft: int, hop_length: int, window: str,
+                   center: bool) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Gather-free STFT for hop | n_fft: frame t spans rows t..t+k-1 of the
+    hop-reshaped signal, so the windowed DFT is k segment matmuls summed —
+    pure slices + MXU dots, fully fusable by XLA."""
+    batch_shape = x.shape[:-1]          # () for 1-D input -> output squeezed
+    x = x.reshape((-1, x.shape[-1]))
+    b, n = x.shape
+    hop = hop_length
+    k = n_fft // hop
+
+    if center:
+        x = jnp.pad(x, ((0, 0), (n_fft // 2, n_fft // 2)), mode="reflect")
+        t = 1 + n // hop
+    else:
+        t = 1 + (n - n_fft) // hop
+    rows_needed = t - 1 + k
+    need = rows_needed * hop - x.shape[1]
+    if need > 0:
+        x = jnp.pad(x, ((0, 0), (0, need)))
+    rows = x[:, : rows_needed * hop].reshape(b, rows_needed, hop)
+
+    win = get_window(window, n_fft)
+    wc, ws = _dft_bases_np(n_fft)
+    wc = win[:, None] * wc                      # fold the window into the bases
+    ws = win[:, None] * ws
+    re = im = 0.0
+    for j in range(k):
+        seg = rows[:, j: j + t]                 # [B, T, hop] — a slice, no gather
+        re = re + jnp.einsum("bth,hf->btf", seg,
+                             jnp.asarray(wc[j * hop: (j + 1) * hop]), **_DOT_KW)
+        im = im + jnp.einsum("bth,hf->btf", seg,
+                             jnp.asarray(ws[j * hop: (j + 1) * hop]), **_DOT_KW)
+    # batch_shape is () for 1-D input, so this reshape also squeezes.
+    re = re.reshape(batch_shape + re.shape[1:])
+    im = im.reshape(batch_shape + im.shape[1:])
+    return re, im
 
 
 def magnitude(re: jnp.ndarray, im: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
@@ -76,6 +142,8 @@ def istft(re: jnp.ndarray, im: jnp.ndarray, n_fft: int, hop_length: int,
 
     (re, im): [..., T, n_fft//2+1] -> [..., num_samples].
     """
+    if n_fft % hop_length == 0:
+        return _istft_segments(re, im, n_fft, hop_length, window, center, length)
     win = jnp.asarray(get_window(window, n_fft))
     frames = jnp.fft.irfft(jax.lax.complex(re, im), n=n_fft, axis=-1) * win
 
@@ -104,6 +172,58 @@ def istft(re: jnp.ndarray, im: jnp.ndarray, n_fft: int, hop_length: int,
             y = y[..., :length]
     elif length is not None:
         y = y[..., :length]
+    return y
+
+
+def _istft_segments(re: jnp.ndarray, im: jnp.ndarray, n_fft: int, hop_length: int,
+                    window: str, center: bool, length: int | None) -> jnp.ndarray:
+    """Scatter-free ISTFT for hop | n_fft: the windowed inverse DFT of each
+    frame is computed per hop-wide SEGMENT (k matmuls), and overlap-add becomes
+    k static slice-adds into the hop-reshaped output — no scatter, pure XLA."""
+    batch_shape = re.shape[:-2]          # () for 2-D input -> output squeezed
+    re = re.reshape((-1,) + re.shape[-2:])
+    im = im.reshape((-1,) + im.shape[-2:])
+    b, t, f = re.shape
+    hop = hop_length
+    k = n_fft // hop
+
+    win_np = get_window(window, n_fft)
+    wc, ws = _dft_bases_np(n_fft)
+    # Inverse rfft as matmul: x = (1/n_fft) * (re @ (g*cos)^T + im @ (g*sin)^T),
+    # g_k = 1 for DC/Nyquist, 2 otherwise (sin basis already negated); the
+    # synthesis window folds in too.
+    wgt = np.full((f,), 2.0, np.float32)
+    wgt[0] = 1.0
+    if n_fft % 2 == 0:
+        wgt[-1] = 1.0
+    icos = (wc * wgt[None, :]).T / n_fft * win_np[None, :]   # [F, n_fft]
+    isin = (ws * wgt[None, :]).T / n_fft * win_np[None, :]
+
+    out_rows = t - 1 + k
+    y = jnp.zeros((b, out_rows, hop), jnp.float32)
+    for j in range(k):
+        seg = (jnp.einsum("btf,fh->bth", re,
+                          jnp.asarray(icos[:, j * hop: (j + 1) * hop]), **_DOT_KW)
+               + jnp.einsum("btf,fh->bth", im,
+                            jnp.asarray(isin[:, j * hop: (j + 1) * hop]), **_DOT_KW))
+        y = y.at[:, j: j + t].add(seg)   # static slice-add, not a scatter
+    out_len = out_rows * hop             # == n_fft + (t - 1) * hop
+    y = y.reshape(b, out_len)
+
+    # COLA window-square normalization (precomputed on host — static shapes).
+    wsq = np.zeros(out_len, np.float32)
+    w2 = win_np * win_np
+    for r in range(t):
+        wsq[r * hop: r * hop + n_fft] += w2
+    y = y / jnp.maximum(jnp.asarray(wsq), 1e-8)
+
+    if center:
+        y = y[:, n_fft // 2:]
+    if length is not None:
+        y = y[:, :length]
+        if y.shape[1] < length:
+            y = jnp.pad(y, ((0, 0), (0, length - y.shape[1])))
+    y = y.reshape(batch_shape + y.shape[1:])
     return y
 
 

@@ -22,6 +22,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from aas_enhancement_tpu.config import AMConfig
+from aas_enhancement_tpu.ops.conv import SpaceToDepthConv
 from aas_enhancement_tpu.ops.masking import apply_time_mask, conv_out_length
 from aas_enhancement_tpu.ops.norm import MaskedGroupNorm
 from aas_enhancement_tpu.ops.rnn import BiRNN
@@ -46,9 +47,11 @@ class AcousticModel(nn.Module):
         c = self.cfg.conv_channels
         x = log_mag.astype(dtype)[..., None]                  # [B, T, F, 1]
 
-        # conv1: kernel (time=11, freq=41), stride (2, 2)
-        x = nn.Conv(c, kernel_size=(11, 41), strides=(2, 2), padding="SAME",
-                    dtype=dtype, name="conv1")(x)
+        # conv1: kernel (time=11, freq=41), stride (2, 2).  Space-to-depth
+        # evaluation (ops/conv.py): C_in=1 stride-2 convs run at a few percent
+        # of MXU peak under XLA; the 2x2 fold is ~3x faster, weight-compatible.
+        x = SpaceToDepthConv(c, kernel_size=(11, 41), dtype=dtype,
+                             name="conv1")(x)
         out_lengths = conv_out_length(lengths, 11, 2, "SAME")
         # MaskedGroupNorm zeroes padded frames and hardtanh(0) == 0, so no extra
         # time-mask pass is needed after either conv block.

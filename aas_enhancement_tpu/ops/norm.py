@@ -29,20 +29,22 @@ class MaskedGroupNorm(nn.Module):
 
         mask = time_mask(lengths, t, jnp.float32)[:, :, None, None]  # [B,T,1,1]
         xf = x.astype(jnp.float32)
-        xg = (xf * mask).reshape(b, t, f, g, c // g)
-        mg = jnp.broadcast_to(mask[..., None], (b, t, f, g, c // g))
-
-        count = jnp.maximum(jnp.sum(mg, axis=(1, 2, 4)), 1.0)        # [B, G]
-        mean = jnp.sum(xg, axis=(1, 2, 4)) / count                   # [B, G]
-        # E[x^2] - E[x]^2 over valid cells.
-        sq = jnp.sum((xf.reshape(b, t, f, g, c // g) ** 2) * mg, axis=(1, 2, 4)) / count
+        xm = (xf * mask).reshape(b, t, f, g, c // g)
+        # Valid-cell count is analytic (lengths * f * c/g) — no broadcast
+        # reduction over the full tensor; sum(x) and sum(x^2) fuse into one pass.
+        count = jnp.maximum(lengths.astype(jnp.float32) * (f * (c // g)), 1.0)
+        mean = jnp.sum(xm, axis=(1, 2, 4)) / count[:, None]          # [B, G]
+        sq = jnp.sum(xm * xm, axis=(1, 2, 4)) / count[:, None]   # mask is 0/1
         var = jnp.maximum(sq - mean ** 2, 0.0)
 
-        mean_b = jnp.repeat(mean, c // g, axis=-1).reshape(b, 1, 1, c)
-        var_b = jnp.repeat(var, c // g, axis=-1).reshape(b, 1, 1, c)
-        y = (xf - mean_b) * jax.lax.rsqrt(var_b + self.epsilon)
-
+        inv = jax.lax.rsqrt(var + self.epsilon)                      # [B, G]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        y = y * scale + bias
+        # Fold (mean, inv, scale, bias) into one per-(B, C) affine pair.
+        inv_c = jnp.reshape(jnp.broadcast_to(inv[:, :, None], (b, g, c // g)),
+                            (b, 1, 1, c)) * scale
+        off_c = bias - jnp.reshape(
+            jnp.broadcast_to((mean * inv)[:, :, None], (b, g, c // g)),
+            (b, 1, 1, c)) * scale
+        y = xf * inv_c + off_c
         return (y * mask).astype(self.dtype)

@@ -41,10 +41,14 @@ def _sig(x):
 
 def _pick_chunk(b: int, h: int, gdim: int, itemsize: int, n_state_streams: int,
                 n_gate_streams: int) -> int:
-    """Largest chunk whose double-buffered streams + resident weights fit VMEM."""
-    fixed = 2 * h * gdim * 4 + 2 * gdim * 4                 # wh + bh (f32)
-    per_t = 2 * (n_gate_streams * 2 * b * gdim * itemsize   # gx/dgx/dgh streams
-                 + n_state_streams * 2 * b * h * 4)         # states/dy (f32)
+    """Largest chunk whose double-buffered streams + resident weights fit VMEM.
+
+    All per-step streams (gates AND saved states / output grads) ride in the
+    input dtype — bf16 in production halves the traffic and doubles the chunk.
+    """
+    fixed = 2 * h * gdim * 4 + 2 * gdim * 4                     # wh + bh (f32)
+    per_t = 2 * (n_gate_streams * 2 * b * gdim * itemsize       # gx/dgx/dgh
+                 + n_state_streams * 2 * b * h * itemsize)      # states/y/dy
     for ct in (32, 16, 8, 4, 2, 1):
         if fixed + ct * per_t <= _VMEM_BUDGET:
             return ct
@@ -79,8 +83,11 @@ def _lstm_fwd_kernel(gx_ref, m_ref, wh_ref, bh_ref,
     def step(j, _):
         h = h_st[:]
         c = c_st[:]
-        hprev_ref[j] = h
-        cprev_ref[j] = c
+        # Saved states stream out in the input dtype (bf16 in production):
+        # the recurrence itself stays f32 in scratch; only the backward-pass
+        # recompute sees the rounded copies (standard mixed-precision trade).
+        hprev_ref[j] = h.astype(hprev_ref.dtype)
+        cprev_ref[j] = c.astype(cprev_ref.dtype)
         gx_t = gx_ref[j].astype(jnp.float32)
         m_t = m_ref[j][..., None].astype(jnp.float32)
         g0 = jnp.dot(h[0], wh_ref[0], preferred_element_type=jnp.float32)
@@ -110,8 +117,8 @@ def _lstm_bwd_kernel(gx_ref, m_ref, wh_ref, bh_ref, hprev_ref, cprev_ref, dy_ref
 
     def step(jj, _):
         j = ct - 1 - jj
-        h_prev = hprev_ref[j]
-        c_prev = cprev_ref[j]
+        h_prev = hprev_ref[j].astype(jnp.float32)
+        c_prev = cprev_ref[j].astype(jnp.float32)
         gx_t = gx_ref[j].astype(jnp.float32)
         m_t = m_ref[j][..., None].astype(jnp.float32)
         dy_t = dy_ref[j].astype(jnp.float32)
@@ -181,8 +188,8 @@ def _lstm_fwd_call(gx, m, wh, bh, interpret):
         ],
         out_shape=[
             jax.ShapeDtypeStruct((tp, 2, b, h), gx.dtype),
-            jax.ShapeDtypeStruct((tp, 2, b, h), jnp.float32),
-            jax.ShapeDtypeStruct((tp, 2, b, h), jnp.float32),
+            jax.ShapeDtypeStruct((tp, 2, b, h), gx.dtype),
+            jax.ShapeDtypeStruct((tp, 2, b, h), gx.dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, b, h), jnp.float32),
@@ -221,7 +228,7 @@ def _lstm_bwd_call(gx, m, wh, bh, hprev, cprev, dy, interpret):
             pl.BlockSpec((ct, 2, b, h), rev4, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((ct, 2, b, gh4), rev4, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((tp, 2, b, gh4), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((tp, 2, b, gh4), gx.dtype),
         scratch_shapes=[
             pltpu.VMEM((2, b, h), jnp.float32),
             pltpu.VMEM((2, b, h), jnp.float32),
@@ -232,11 +239,13 @@ def _lstm_bwd_call(gx, m, wh, bh, hprev, cprev, dy, interpret):
       hprev_p, cprev_p, dy_p)
     dgx = dgx[:t]
 
-    # Weight grads: one large einsum over saved states x gate grads (MXU, outside
-    # the kernel -- keeps the f32 accumulator out of scoped VMEM).
-    dwh = jnp.einsum("tdbh,tdbg->dhg", hprev[:t], dgx)
-    dbh = jnp.sum(dgx, axis=(0, 2))
-    return dgx.astype(gx.dtype), dwh, dbh
+    # Weight grads: one large einsum over saved states x gate grads (MXU, f32
+    # accumulation, outside the kernel -- keeps the f32 accumulator out of
+    # scoped VMEM).
+    dwh = jnp.einsum("tdbh,tdbg->dhg", hprev[:t], dgx,
+                     preferred_element_type=jnp.float32)
+    dbh = jnp.einsum("tdbg->dg", dgx, preferred_element_type=jnp.float32)
+    return dgx, dwh, dbh
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -280,7 +289,7 @@ def _gru_fwd_kernel(gx_ref, m_ref, wh_ref, bh_ref, y_ref, hprev_ref, h_st):
 
     def step(j, _):
         h = h_st[:]
-        hprev_ref[j] = h
+        hprev_ref[j] = h.astype(hprev_ref.dtype)   # bf16 stream in production
         gx_t = gx_ref[j].astype(jnp.float32)
         m_t = m_ref[j][..., None].astype(jnp.float32)
         gh0 = jnp.dot(h[0], wh_ref[0], preferred_element_type=jnp.float32)
@@ -311,7 +320,7 @@ def _gru_bwd_kernel(gx_ref, m_ref, wh_ref, bh_ref, hprev_ref, dy_ref,
 
     def step(jj, _):
         j = ct - 1 - jj
-        h_prev = hprev_ref[j]
+        h_prev = hprev_ref[j].astype(jnp.float32)
         gx_t = gx_ref[j].astype(jnp.float32)
         m_t = m_ref[j][..., None].astype(jnp.float32)
         dy_t = dy_ref[j].astype(jnp.float32)
@@ -375,7 +384,7 @@ def _gru_fwd_call(gx, m, wh, bh, interpret):
         ],
         out_shape=[
             jax.ShapeDtypeStruct((tp, 2, b, h), gx.dtype),
-            jax.ShapeDtypeStruct((tp, 2, b, h), jnp.float32),
+            jax.ShapeDtypeStruct((tp, 2, b, h), gx.dtype),
         ],
         scratch_shapes=[pltpu.VMEM((2, b, h), jnp.float32)],
         compiler_params=_seq_params(),
@@ -414,8 +423,8 @@ def _gru_bwd_call(gx, m, wh, bh, hprev, dy, interpret):
             pl.BlockSpec((ct, 2, b, gh3), rev4, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((tp, 2, b, gh3), jnp.float32),
-            jax.ShapeDtypeStruct((tp, 2, b, gh3), jnp.float32),
+            jax.ShapeDtypeStruct((tp, 2, b, gh3), gx.dtype),
+            jax.ShapeDtypeStruct((tp, 2, b, gh3), gx.dtype),
         ],
         scratch_shapes=[pltpu.VMEM((2, b, h), jnp.float32)],
         compiler_params=_seq_params(),
@@ -423,9 +432,10 @@ def _gru_bwd_call(gx, m, wh, bh, hprev, dy, interpret):
     )(gx_p, m_p, wh.astype(jnp.float32), bh.astype(jnp.float32), hprev_p, dy_p)
     dgx, dgh = dgx[:t], dgh[:t]
 
-    dwh = jnp.einsum("tdbh,tdbg->dhg", hprev[:t], dgh)
-    dbh = jnp.sum(dgh, axis=(0, 2))
-    return dgx.astype(gx.dtype), dwh, dbh
+    dwh = jnp.einsum("tdbh,tdbg->dhg", hprev[:t], dgh,
+                     preferred_element_type=jnp.float32)
+    dbh = jnp.einsum("tdbg->dg", dgh, preferred_element_type=jnp.float32)
+    return dgx, dwh, dbh
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
