@@ -98,6 +98,8 @@ class TrainConfig:
     eval_every: int = 0          # validate every N steps; 0 = at each epoch end
                                  # (validation runs only when data.val_manifest set)
     eval_batch_size: int = 4     # batch size for in-training validation decode
+    prefetch: int = 2            # input batches assembled + device_put ahead of
+                                 # the step (producer thread); 0 = synchronous
 
 
 @dataclass(frozen=True)
@@ -125,6 +127,9 @@ class DataConfig:
     noise_dir: str = ""
     noise_prob: float = 0.4
     noise_snr_range: tuple = (0.0, 15.0)
+    feed_dtype: str = "float32"  # "int16" halves host->device feed bytes (the
+                                 # source wavs are PCM16; the jitted step converts
+                                 # back to f32 on device — train/objectives.py)
 
 
 @dataclass(frozen=True)

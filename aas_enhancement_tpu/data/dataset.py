@@ -161,6 +161,14 @@ class AudioDataset:
             label_pad[j, : len(ids)] = 0.0
             if has_clean and c is not None:
                 clean[j] = c
+        if self.data.feed_dtype == "int16":
+            # Halve host->device feed bytes: wavs are PCM16 at the source, so
+            # int16 transport is lossless for unaugmented audio (augmented audio
+            # re-quantizes at -96 dBFS resolution).  Device-side conversion back
+            # to f32 happens inside the jitted step (train/objectives.py).
+            wav = _to_int16(wav)
+            if has_clean:
+                clean = _to_int16(clean)
         return Batch(wav=wav, wav_lengths=wav_lengths, labels=labels,
                      label_paddings=label_pad,
                      clean_wav=clean if has_clean else None,
@@ -245,6 +253,10 @@ class UnpairedCleanStream:
         """Advance the stream without decoding (used by resume fast-forward so a
         resumed run sees the same clean batches as an uninterrupted one)."""
         self.rng.integers(0, len(self.ds.items), size=self.batch_size)
+
+
+def _to_int16(x: np.ndarray) -> np.ndarray:
+    return np.clip(np.round(x * 32768.0), -32768, 32767).astype(np.int16)
 
 
 def _wav_num_samples(path: str) -> int:

@@ -100,11 +100,14 @@ def random_transcript(rng: np.random.Generator, n_words: tuple[int, int] = (2, 5
 def generate_corpus(out_dir: str, n_utts: int = 16, seed: int = 0,
                     sample_rate: int = 16000,
                     snr_range: tuple[float, float] = (0.0, 10.0),
-                    vocab_chars: int = 0) -> dict[str, str]:
+                    vocab_chars: int = 0,
+                    n_words: tuple[int, int] = (2, 5),
+                    word_len: tuple[int, int] = (2, 6)) -> dict[str, str]:
     """Write a paired clean/noisy synthetic corpus + manifests.
 
     Returns {"clean": clean_manifest_path, "noisy": noisy_manifest_path}.
-    vocab_chars > 0 restricts transcripts to the first N characters (easier CTC tasks).
+    vocab_chars > 0 restricts transcripts to the first N characters (easier CTC
+    tasks); n_words/word_len control transcript (hence utterance) length.
     """
     rng = np.random.default_rng(seed)
     chars = _CHARS[:vocab_chars] if vocab_chars else _CHARS
@@ -114,8 +117,8 @@ def generate_corpus(out_dir: str, n_utts: int = 16, seed: int = 0,
     clean_lines, noisy_lines = [], []
     for i in range(n_utts):
         words = []
-        for _ in range(int(rng.integers(2, 5))):
-            k = int(rng.integers(2, 6))
+        for _ in range(int(rng.integers(*n_words))):
+            k = int(rng.integers(*word_len))
             words.append("".join(rng.choice(chars, size=k)))
         text = " ".join(words)
 

@@ -36,9 +36,19 @@ def make_enhance_fn(cfg: Config):
 
     One XLA program: framing + window + rFFT + normalization + conv/BLSTM + mask/map +
     inverse rFFT + overlap-add.  Static per (B, n) bucket shape.
+
+    Memoized on (audio, enhancer) config so repeated construction (one
+    StreamingEnhancer or enhance_utterance call per utterance) reuses the same
+    jitted closure instead of recompiling.
     """
-    a = cfg.audio
-    model = Enhancer(cfg.enhancer)
+    return _make_enhance_fn(cfg.audio, cfg.enhancer)
+
+
+@functools.lru_cache(maxsize=32)
+def _make_enhance_fn(audio_cfg, enhancer_cfg):
+    a = audio_cfg
+    model = Enhancer(enhancer_cfg)
+    enh_cfg = enhancer_cfg
 
     @functools.partial(jax.jit, static_argnames=())
     def enhance(params, wav: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
@@ -53,7 +63,7 @@ def make_enhance_fn(cfg: Config):
         else:
             net_in = log_mag
         out = model.apply(params, net_in, frame_lengths)
-        enhanced_mag = apply_enhancement(cfg.enhancer, out, mag)
+        enhanced_mag = apply_enhancement(enh_cfg, out, mag)
         return dsp_api.reconstruct(a, enhanced_mag, ph, length=wav.shape[-1])
 
     return enhance
@@ -77,11 +87,18 @@ def make_streaming_enhance_fn(cfg: Config):
     silence on the first block — and must not be double-counted).  The
     returned block moments cover [stats_start, frame_length) and are the
     host's next running-stats increment.
+
+    Memoized on (audio, enhancer) config — see make_enhance_fn.
     """
+    return _make_streaming_enhance_fn(cfg.audio, cfg.enhancer)
+
+
+@functools.lru_cache(maxsize=32)
+def _make_streaming_enhance_fn(audio_cfg, enhancer_cfg):
     from aas_enhancement_tpu.ops.masking import time_mask
 
-    a = cfg.audio
-    model = Enhancer(cfg.enhancer)
+    a = audio_cfg
+    model = Enhancer(enhancer_cfg)
 
     @jax.jit
     def enhance(params, wav, lengths, stats_start, run_sum, run_sumsq, run_count):
@@ -110,7 +127,7 @@ def make_streaming_enhance_fn(cfg: Config):
         else:
             net_in = log_mag
         out = model.apply(params, net_in, frame_lengths)
-        enhanced_mag = apply_enhancement(cfg.enhancer, out, mag)
+        enhanced_mag = apply_enhancement(enhancer_cfg, out, mag)
         wav_out = dsp_api.reconstruct(a, enhanced_mag, ph, length=wav.shape[-1])
         return wav_out, b_sum, b_sumsq, b_count
 

@@ -46,7 +46,7 @@ def _pick_chunk(b: int, h: int, gdim: int, itemsize: int, n_state_streams: int,
     All per-step streams (gates AND saved states / output grads) ride in the
     input dtype — bf16 in production halves the traffic and doubles the chunk.
     """
-    fixed = 2 * h * gdim * 4 + 2 * gdim * 4                     # wh + bh (f32)
+    fixed = 2 * h * gdim * itemsize + 2 * gdim * 4              # wh (stream dtype) + bh (f32)
     per_t = 2 * (n_gate_streams * 2 * b * gdim * itemsize       # gx/dgx/dgh
                  + n_state_streams * 2 * b * h * itemsize)      # states/y/dy
     for ct in (32, 16, 8, 4, 2, 1):
@@ -90,8 +90,12 @@ def _lstm_fwd_kernel(gx_ref, m_ref, wh_ref, bh_ref,
         cprev_ref[j] = c.astype(cprev_ref.dtype)
         gx_t = gx_ref[j].astype(jnp.float32)
         m_t = m_ref[j][..., None].astype(jnp.float32)
-        g0 = jnp.dot(h[0], wh_ref[0], preferred_element_type=jnp.float32)
-        g1 = jnp.dot(h[1], wh_ref[1], preferred_element_type=jnp.float32)
+        # Recurrent dots ride the MXU in the stream dtype (bf16 in production
+        # -> native MXU passes; f32 inputs would pay the multi-pass penalty).
+        # Accumulation and the state update stay f32.
+        hc = h.astype(wh_ref.dtype)
+        g0 = jnp.dot(hc[0], wh_ref[0], preferred_element_type=jnp.float32)
+        g1 = jnp.dot(hc[1], wh_ref[1], preferred_element_type=jnp.float32)
         g = gx_t + jnp.stack([g0, g1], axis=0) + bh_ref[:][:, None, :]
         i, f, gc, o = (g[..., :hdim], g[..., hdim:2 * hdim],
                        g[..., 2 * hdim:3 * hdim], g[..., 3 * hdim:])
@@ -117,15 +121,16 @@ def _lstm_bwd_kernel(gx_ref, m_ref, wh_ref, bh_ref, hprev_ref, cprev_ref, dy_ref
 
     def step(jj, _):
         j = ct - 1 - jj
-        h_prev = hprev_ref[j].astype(jnp.float32)
+        h_prev_c = hprev_ref[j].astype(wh_ref.dtype)
         c_prev = cprev_ref[j].astype(jnp.float32)
         gx_t = gx_ref[j].astype(jnp.float32)
         m_t = m_ref[j][..., None].astype(jnp.float32)
         dy_t = dy_ref[j].astype(jnp.float32)
 
-        # Recompute gates (one extra matmul instead of saving activations).
-        g0 = jnp.dot(h_prev[0], wh_ref[0], preferred_element_type=jnp.float32)
-        g1 = jnp.dot(h_prev[1], wh_ref[1], preferred_element_type=jnp.float32)
+        # Recompute gates (one extra matmul instead of saving activations);
+        # MXU-native dtype for the dots, f32 accumulation.
+        g0 = jnp.dot(h_prev_c[0], wh_ref[0], preferred_element_type=jnp.float32)
+        g1 = jnp.dot(h_prev_c[1], wh_ref[1], preferred_element_type=jnp.float32)
         g = gx_t + jnp.stack([g0, g1], axis=0) + bh_ref[:][:, None, :]
         si = _sig(g[..., :hdim])
         sf = _sig(g[..., hdim:2 * hdim] + 1.0)
@@ -150,8 +155,9 @@ def _lstm_bwd_kernel(gx_ref, m_ref, wh_ref, bh_ref, hprev_ref, cprev_ref, dy_ref
         dg = jnp.concatenate([di, df, dgc, do], axis=-1)
         dgx_ref[j] = dg.astype(dgx_ref.dtype)
 
-        dh0 = jnp.dot(dg[0], wh_ref[0].T, preferred_element_type=jnp.float32)
-        dh1 = jnp.dot(dg[1], wh_ref[1].T, preferred_element_type=jnp.float32)
+        dgc_mxu = dg.astype(wh_ref.dtype)
+        dh0 = jnp.dot(dgc_mxu[0], wh_ref[0].T, preferred_element_type=jnp.float32)
+        dh1 = jnp.dot(dgc_mxu[1], wh_ref[1].T, preferred_element_type=jnp.float32)
         dh_st[:] = jnp.stack([dh0, dh1], axis=0) + dh_keep
         dc_st[:] = dc_prev
         return 0
@@ -197,7 +203,7 @@ def _lstm_fwd_call(gx, m, wh, bh, interpret):
         ],
         compiler_params=_seq_params(),
         interpret=interpret,
-    )(gx_p, m_p, wh.astype(jnp.float32), bh.astype(jnp.float32))
+    )(gx_p, m_p, wh.astype(gx.dtype), bh.astype(jnp.float32))
     return y[:t], hprev, cprev
 
 
@@ -235,7 +241,7 @@ def _lstm_bwd_call(gx, m, wh, bh, hprev, cprev, dy, interpret):
         ],
         compiler_params=_seq_params(),
         interpret=interpret,
-    )(gx_p, m_p, wh.astype(jnp.float32), bh.astype(jnp.float32),
+    )(gx_p, m_p, wh.astype(gx.dtype), bh.astype(jnp.float32),
       hprev_p, cprev_p, dy_p)
     dgx = dgx[:t]
 
@@ -292,8 +298,10 @@ def _gru_fwd_kernel(gx_ref, m_ref, wh_ref, bh_ref, y_ref, hprev_ref, h_st):
         hprev_ref[j] = h.astype(hprev_ref.dtype)   # bf16 stream in production
         gx_t = gx_ref[j].astype(jnp.float32)
         m_t = m_ref[j][..., None].astype(jnp.float32)
-        gh0 = jnp.dot(h[0], wh_ref[0], preferred_element_type=jnp.float32)
-        gh1 = jnp.dot(h[1], wh_ref[1], preferred_element_type=jnp.float32)
+        # MXU-native recurrent dots (see LSTM kernel note).
+        hc = h.astype(wh_ref.dtype)
+        gh0 = jnp.dot(hc[0], wh_ref[0], preferred_element_type=jnp.float32)
+        gh1 = jnp.dot(hc[1], wh_ref[1], preferred_element_type=jnp.float32)
         gh = jnp.stack([gh0, gh1], axis=0) + bh_ref[:][:, None, :]
         xr, xz, xn = (gx_t[..., :hdim], gx_t[..., hdim:2 * hdim],
                       gx_t[..., 2 * hdim:])
@@ -320,13 +328,14 @@ def _gru_bwd_kernel(gx_ref, m_ref, wh_ref, bh_ref, hprev_ref, dy_ref,
 
     def step(jj, _):
         j = ct - 1 - jj
-        h_prev = hprev_ref[j].astype(jnp.float32)
+        h_prev_c = hprev_ref[j].astype(wh_ref.dtype)
+        h_prev = h_prev_c.astype(jnp.float32)
         gx_t = gx_ref[j].astype(jnp.float32)
         m_t = m_ref[j][..., None].astype(jnp.float32)
         dy_t = dy_ref[j].astype(jnp.float32)
 
-        gh0 = jnp.dot(h_prev[0], wh_ref[0], preferred_element_type=jnp.float32)
-        gh1 = jnp.dot(h_prev[1], wh_ref[1], preferred_element_type=jnp.float32)
+        gh0 = jnp.dot(h_prev_c[0], wh_ref[0], preferred_element_type=jnp.float32)
+        gh1 = jnp.dot(h_prev_c[1], wh_ref[1], preferred_element_type=jnp.float32)
         gh = jnp.stack([gh0, gh1], axis=0) + bh_ref[:][:, None, :]
         xr, xz, xn = (gx_t[..., :hdim], gx_t[..., hdim:2 * hdim],
                       gx_t[..., 2 * hdim:])
@@ -349,8 +358,9 @@ def _gru_bwd_kernel(gx_ref, m_ref, wh_ref, bh_ref, hprev_ref, dy_ref,
         dgx_ref[j] = dgx.astype(dgx_ref.dtype)
         dgh_ref[j] = dgh.astype(dgh_ref.dtype)
 
-        dh0 = jnp.dot(dgh[0], wh_ref[0].T, preferred_element_type=jnp.float32)
-        dh1 = jnp.dot(dgh[1], wh_ref[1].T, preferred_element_type=jnp.float32)
+        dghc = dgh.astype(wh_ref.dtype)
+        dh0 = jnp.dot(dghc[0], wh_ref[0].T, preferred_element_type=jnp.float32)
+        dh1 = jnp.dot(dghc[1], wh_ref[1].T, preferred_element_type=jnp.float32)
         dh_st[:] = jnp.stack([dh0, dh1], axis=0) + dh_upd * z + dh_keep
         return 0
 
@@ -389,7 +399,7 @@ def _gru_fwd_call(gx, m, wh, bh, interpret):
         scratch_shapes=[pltpu.VMEM((2, b, h), jnp.float32)],
         compiler_params=_seq_params(),
         interpret=interpret,
-    )(gx_p, m_p, wh.astype(jnp.float32), bh.astype(jnp.float32))
+    )(gx_p, m_p, wh.astype(gx.dtype), bh.astype(jnp.float32))
     return y[:t], hprev
 
 
@@ -429,7 +439,7 @@ def _gru_bwd_call(gx, m, wh, bh, hprev, dy, interpret):
         scratch_shapes=[pltpu.VMEM((2, b, h), jnp.float32)],
         compiler_params=_seq_params(),
         interpret=interpret,
-    )(gx_p, m_p, wh.astype(jnp.float32), bh.astype(jnp.float32), hprev_p, dy_p)
+    )(gx_p, m_p, wh.astype(gx.dtype), bh.astype(jnp.float32), hprev_p, dy_p)
     dgx, dgh = dgx[:t], dgh[:t]
 
     dwh = jnp.einsum("tdbh,tdbg->dhg", hprev[:t], dgh,

@@ -179,6 +179,66 @@ class _Validator:
             self._best_mgr.close()
 
 
+def _prefetched(gen, depth: int):
+    """Run `gen` in a producer thread, `depth` items ahead of the consumer.
+
+    Overlaps host batch assembly AND host->device transfer with device compute
+    (the producer yields ALREADY-SHARDED device batches).  depth <= 0 degrades
+    to synchronous iteration.  The producer is a single thread, so the data
+    order (incl. the clean stream's RNG draws) is identical to the synchronous
+    path.  Early consumer exit (max_steps) signals the producer to stop.
+    """
+    if depth <= 0:
+        yield from gen
+        return
+    import queue
+    import threading
+
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    end = object()
+    stop = threading.Event()
+    err: list[BaseException] = []
+
+    def worker():
+        try:
+            for item in gen:
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+        except BaseException as e:   # propagate into the consumer
+            err.append(e)
+        finally:
+            while not stop.is_set():
+                try:
+                    q.put(end, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
+
+    t = threading.Thread(target=worker, daemon=True, name="aas-input-prefetch")
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is end:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
+
+
 def _batch_dict(cfg: Config, batch, clean_stream: UnpairedCleanStream | None):
     d = {"wav": batch.wav, "wav_lengths": batch.wav_lengths,
          "labels": batch.labels, "label_paddings": batch.label_paddings}
@@ -285,27 +345,32 @@ def train(cfg: Config, noisy_manifest: str, clean_manifest: str | None = None,
                                records=records, logger=logger,
                                checkpoint_dir=checkpoint_dir)
 
+    def prepared_batches(epoch: int, offset: int):
+        """Assemble, pad, weight, and device_put each batch (producer side)."""
+        for i, batch in enumerate(epoch_batches(epoch, start=offset), start=offset):
+            bd = _batch_dict(cfg, batch, clean_stream)
+            bd = pad_batch_to_devices(bd, n_dev)
+            # Zero-weight repeat-padded rows (short final bucket batches and
+            # device-divisibility padding) so they carry no gradient.
+            pb = bd["wav"].shape[0]
+            rw = np.zeros(pb, np.float32)
+            rw[: batch.size] = 1.0
+            bd["row_weights"] = rw
+            if "clean_wav" in bd:
+                cw = np.zeros(pb, np.float32)
+                cw[: cfg.train.batch_size if cfg.train.objective != "paired"
+                   else batch.size] = 1.0
+                bd["clean_row_weights"] = cw
+            yield i, shard_batch(mesh, bd)
+
     last_logged = -1
     with mesh:
         for epoch in range(start_epoch, cfg.train.epochs):
             if done:
                 break
             offset = skip if epoch == start_epoch else 0
-            for i, batch in enumerate(epoch_batches(epoch, start=offset), start=offset):
-                bd = _batch_dict(cfg, batch, clean_stream)
-                bd = pad_batch_to_devices(bd, n_dev)
-                # Zero-weight repeat-padded rows (short final bucket batches and
-                # device-divisibility padding) so they carry no gradient.
-                pb = bd["wav"].shape[0]
-                rw = np.zeros(pb, np.float32)
-                rw[: batch.size] = 1.0
-                bd["row_weights"] = rw
-                if "clean_wav" in bd:
-                    cw = np.zeros(pb, np.float32)
-                    cw[: cfg.train.batch_size if cfg.train.objective != "paired"
-                       else batch.size] = 1.0
-                    bd["clean_row_weights"] = cw
-                bd = shard_batch(mesh, bd)
+            for i, bd in _prefetched(prepared_batches(epoch, offset),
+                                     cfg.train.prefetch):
                 state, aux = step(state, bd)
 
                 s = int(state.step)

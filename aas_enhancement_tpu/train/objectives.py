@@ -28,8 +28,12 @@ def device_features(cfg: Config, wav: jnp.ndarray, wav_lengths: jnp.ndarray):
     """On-device featurization: padded wav [B, N] -> (mag, log_mag, frame_lengths).
 
     The host ships waveforms; STFT runs inside the jitted step (BASELINE.json:5).
+    int16 feeds (DataConfig.feed_dtype, half the host->device bytes) convert to
+    f32 here, on device.
     """
     a = cfg.audio
+    if jnp.issubdtype(wav.dtype, jnp.integer):
+        wav = wav.astype(jnp.float32) * (1.0 / 32768.0)
     re, im = dsp_api.stft(a, wav)
     mag = magnitude(re, im)
     log_mag = jnp.log1p(mag)

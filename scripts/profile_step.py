@@ -11,6 +11,10 @@ Usage:  python scripts/profile_step.py [--batch 64] [--seconds 8] [--trace DIR]
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import json
 import time

@@ -84,3 +84,29 @@ def test_augment_margin_buckets(corpus):
     plain = _ds(corpus, num_buckets=1)
     aug = _ds(corpus, num_buckets=1, augment=True)
     assert max(aug.bucket_sizes) >= max(plain.bucket_sizes)
+
+
+def test_int16_feed_roundtrip(corpus):
+    """feed_dtype=int16 ships int16 batches whose device-side f32 conversion
+    matches the float32 feed to quantization precision, end to end through the
+    jitted featurization (train/objectives.device_features)."""
+    import jax.numpy as jnp
+
+    from aas_enhancement_tpu.config import Config
+    from aas_enhancement_tpu.train.objectives import device_features
+
+    ds16 = _ds(corpus, feed_dtype="int16")
+    ds32 = _ds(corpus)
+    b16 = next(ds16.batches(4, seed=0, epoch=0))
+    b32 = next(ds32.batches(4, seed=0, epoch=0))
+    assert b16.wav.dtype == np.int16
+    assert b32.wav.dtype == np.float32
+    assert np.max(np.abs(b16.wav.astype(np.float32) / 32768.0 - b32.wav)) < 1 / 32768.0
+
+    cfg = Config()
+    _, log16, fl16 = device_features(cfg, jnp.asarray(b16.wav),
+                                     jnp.asarray(b16.wav_lengths))
+    _, log32, fl32 = device_features(cfg, jnp.asarray(b32.wav),
+                                     jnp.asarray(b32.wav_lengths))
+    assert np.array_equal(np.asarray(fl16), np.asarray(fl32))
+    assert float(jnp.max(jnp.abs(log16 - log32))) < 1e-2

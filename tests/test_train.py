@@ -87,3 +87,31 @@ def test_frozen_am_unchanged_during_acoustic(corpus):
     am_after = jax.device_get(state.am_params)
     for a, b in zip(jax.tree.leaves(am_before), jax.tree.leaves(am_after)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_prefetch_matches_synchronous(corpus):
+    """The producer-thread input path (TrainConfig.prefetch) must be bit-exact
+    with synchronous iteration: same batches, same order, same losses."""
+    recs_by_depth = []
+    for depth in (0, 2):
+        cfg = _tiny_cfg("aas", prefetch=depth)
+        _, recs = train(cfg, corpus["noisy"], corpus["clean"], max_steps=6)
+        recs_by_depth.append([(r["step"], r["loss_g"], r["loss_d"])
+                              for r in recs if "loss_g" in r])
+    assert recs_by_depth[0] == recs_by_depth[1]
+
+
+def test_prefetch_early_exit_no_thread_leak(corpus):
+    """max_steps exits mid-epoch; the producer thread must wind down."""
+    import threading
+    import time as _time
+
+    cfg = _tiny_cfg("paired", prefetch=2)
+    train(cfg, corpus["noisy"], corpus["clean"], paired=True, max_steps=2)
+    deadline = _time.time() + 5.0
+    while _time.time() < deadline:
+        if not any(t.name == "aas-input-prefetch" and t.is_alive()
+                   for t in threading.enumerate()):
+            return
+        _time.sleep(0.1)
+    raise AssertionError("prefetch producer thread still alive 5 s after train()")
