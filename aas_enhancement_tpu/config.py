@@ -130,6 +130,9 @@ class DataConfig:
     feed_dtype: str = "float32"  # "int16" halves host->device feed bytes (the
                                  # source wavs are PCM16; the jitted step converts
                                  # back to f32 on device — train/objectives.py)
+    native_decode: bool = True   # C++ parallel wav decode + batch packing
+                                 # (native/audio/wav_batch.cc) when augment is
+                                 # off; transparent python fallback
 
 
 @dataclass(frozen=True)

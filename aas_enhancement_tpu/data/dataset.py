@@ -146,21 +146,45 @@ class AudioDataset:
                                         for it in items)
         u = self.max_label_len
         b = len(items)
-        wav = np.zeros((b, bucket), np.float32)
-        wav_lengths = np.zeros(b, np.int32)
         labels = np.zeros((b, u), np.int32)
         label_pad = np.ones((b, u), np.float32)
-        clean = np.zeros((b, bucket), np.float32)
         has_clean = all(it["clean_wav"] for it in items)
         for j, it in enumerate(items):
-            w, n, c = self._load(it, bucket, epoch)
-            wav[j] = w
-            wav_lengths[j] = n
             ids = it["label_ids"][:u]
             labels[j, : len(ids)] = ids
             label_pad[j, : len(ids)] = 0.0
-            if has_clean and c is not None:
-                clean[j] = c
+
+        # Native fast path: parallel C++ decode + pack (bit-identical to the
+        # python reader — tests/test_native_audio.py); with feed_dtype=int16 a
+        # PCM16 corpus packs by direct copy, no float round-trip.  Augmentation
+        # needs per-item numpy transforms, so it keeps the python path.
+        feed = self.data.feed_dtype
+        native = None
+        if self.data.native_decode and self.augment is None:
+            from aas_enhancement_tpu.data import native_audio
+            native = native_audio.batch_decode(
+                [it["wav"] for it in items], bucket,
+                expected_sr=self.audio.sample_rate, dtype=feed)
+        if native is not None:
+            wav, wav_lengths = native
+            clean = None
+            if has_clean:
+                clean, _ = native_audio.batch_decode(
+                    [it["clean_wav"] for it in items], bucket,
+                    expected_sr=self.audio.sample_rate, dtype=feed)
+            return Batch(wav=wav, wav_lengths=wav_lengths, labels=labels,
+                         label_paddings=label_pad, clean_wav=clean,
+                         real_size=real_size or len(items))
+        else:
+            wav = np.zeros((b, bucket), np.float32)
+            wav_lengths = np.zeros(b, np.int32)
+            clean = np.zeros((b, bucket), np.float32)
+            for j, it in enumerate(items):
+                w, n, c = self._load(it, bucket, epoch)
+                wav[j] = w
+                wav_lengths[j] = n
+                if has_clean and c is not None:
+                    clean[j] = c
         if self.data.feed_dtype == "int16":
             # Halve host->device feed bytes: wavs are PCM16 at the source, so
             # int16 transport is lossless for unaugmented audio (augmented audio
@@ -256,7 +280,13 @@ class UnpairedCleanStream:
 
 
 def _to_int16(x: np.ndarray) -> np.ndarray:
-    return np.clip(np.round(x * 32768.0), -32768, 32767).astype(np.int16)
+    # In-place ops: np.round allocates 3 temporaries and costs ~0.8 s on a
+    # 128 x 8 s batch; this chain is ~4x faster and numerically identical
+    # (clip-then-rint == round-then-clip at the +/-32k integer boundaries).
+    y = x * 32768.0
+    np.clip(y, -32768.0, 32767.0, out=y)
+    np.rint(y, out=y)
+    return y.astype(np.int16)
 
 
 def _wav_num_samples(path: str) -> int:
