@@ -100,6 +100,9 @@ class TrainConfig:
     eval_batch_size: int = 4     # batch size for in-training validation decode
     prefetch: int = 2            # input batches assembled + device_put ahead of
                                  # the step (producer thread); 0 = synchronous
+    grad_accum: int = 1          # microbatches per optimizer update (k > 1
+                                 # scans the split batch inside ONE jitted step;
+                                 # peak activation memory scales with batch/k)
 
 
 @dataclass(frozen=True)

@@ -9,6 +9,15 @@ Data-parallelism falls out of sharding: these steps contain only batched ops, so
 jitting them with batch inputs sharded over the mesh's data axis and state replicated
 makes XLA insert the gradient all-reduce collectives automatically (SURVEY.md §2
 rebuild obligation #4 — the NCCL-equivalent is GSPMD over ICI, not hand-written comm).
+
+Gradient accumulation (TrainConfig.grad_accum = k > 1): the global batch is split
+into k microbatches scanned inside the SAME jitted step; gradients (and the GAN's
+G and D gradients together) average across microbatches before the single optimizer
+update.  Peak activation memory scales with batch/k, so effective batches beyond
+the Pallas kernels' VMEM ceiling (B=256+ on v5e) stay one XLA program.  Microbatch
+means carry equal weight, which matches the unweighted global mean whenever each
+microbatch has the same number of real (non-padding) rows — true for every batch
+except a bucket's final short one.
 """
 
 from __future__ import annotations
@@ -34,6 +43,14 @@ def _grad_norm(grads) -> jnp.ndarray:
                         for g in jax.tree.leaves(grads)))
 
 
+def _tree_add(a, b):
+    return jax.tree.map(jnp.add, a, b)
+
+
+def _tree_scale(a, s: float):
+    return jax.tree.map(lambda x: x * s, a)
+
+
 def make_train_step(cfg: Config) -> Callable:
     """-> step(state, batch_dict) -> (state, metrics).  batch_dict keys: wav,
     wav_lengths, labels, label_paddings, and per-objective: clean_wav (paired) or
@@ -43,80 +60,93 @@ def make_train_step(cfg: Config) -> Callable:
     d_opt = d_optimizer(cfg)
     am_opt = am_optimizer(cfg)
     lam = cfg.train.lambda_adv
+    k = max(1, cfg.train.grad_accum)
+    if cfg.train.batch_size % k:
+        raise ValueError(f"batch_size {cfg.train.batch_size} not divisible by "
+                         f"grad_accum {k}")
 
-    def g_update(state: TrainState, loss_fn) -> tuple[TrainState, dict]:
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.g_params)
-        new_params, new_opt = _apply_update(g_opt, grads, state.g_params, state.g_opt)
-        aux["g_grad_norm"] = _grad_norm(grads)
-        return state.replace(g_params=new_params, g_opt=new_opt), aux
+    # ---------------------------------------------------------------- grads
+    # One microbatch's gradients for every network the objective trains, plus
+    # scalar metrics.  The structure (which nets appear) is objective-static.
+    def micro_grads(state: TrainState, mb) -> tuple[dict, dict]:
+        if objective == "am":
+            (_, aux), g = jax.value_and_grad(
+                lambda p: obj.am_pretrain_loss(cfg, p, mb), has_aux=True)(
+                    state.am_params)
+            return {"am": g}, aux
 
-    def d_update(state: TrainState, batch, enh_log, enh_fl) -> tuple[TrainState, dict]:
-        # Fake side: the G output already computed for the G update (detached) —
-        # matches the reference's enh.detach() and avoids a second G forward.
-        _, clean_log, clean_fl = obj.device_features(
-            cfg, batch["clean_wav"], batch["clean_wav_lengths"])
+        if objective == "paired":
+            (_, aux), g = jax.value_and_grad(
+                lambda p: obj.paired_loss(cfg, p, mb), has_aux=True)(
+                    state.g_params)
+            return {"g": g}, aux
 
-        def loss_fn(d_params):
-            return obj.discriminator_loss(cfg, d_params, enh_log, enh_fl,
-                                          clean_log, clean_fl,
-                                          w_fake=batch.get("row_weights"),
-                                          w_real=batch.get("clean_row_weights"))
+        if objective == "acoustic":
+            (_, aux), g = jax.value_and_grad(
+                lambda p: obj.generator_loss(cfg, p, {}, state.am_params, mb,
+                                             use_acoustic=True, use_adv=False,
+                                             lam=lam), has_aux=True)(
+                    state.g_params)
+            aux.pop("enh_log"), aux.pop("enh_fl")
+            return {"g": g}, aux
 
-        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.d_params)
-        new_params, new_opt = _apply_update(d_opt, grads, state.d_params, state.d_opt)
-        return state.replace(d_params=new_params, d_opt=new_opt), aux
+        if objective in ("adversarial", "aas"):
+            use_ac = objective == "aas"
+            (_, aux), g = jax.value_and_grad(
+                lambda p: obj.generator_loss(
+                    cfg, p, state.d_params,
+                    state.am_params if use_ac else {}, mb,
+                    use_acoustic=use_ac, use_adv=True, lam=lam),
+                has_aux=True)(state.g_params)
+            # Fake side: the G output already computed for the G update
+            # (detached) — matches the reference's enh.detach() and avoids a
+            # second G forward.
+            enh_log, enh_fl = aux.pop("enh_log"), aux.pop("enh_fl")
+            _, clean_log, clean_fl = obj.device_features(
+                cfg, mb["clean_wav"], mb["clean_wav_lengths"])
+            (_, d_aux), dg = jax.value_and_grad(
+                lambda p: obj.discriminator_loss(
+                    cfg, p, enh_log, enh_fl, clean_log, clean_fl,
+                    w_fake=mb.get("row_weights"),
+                    w_real=mb.get("clean_row_weights")), has_aux=True)(
+                    state.d_params)
+            return {"g": g, "d": dg}, {**aux, **d_aux}
 
-    def _pop_enh(aux):
-        return aux.pop("enh_log"), aux.pop("enh_fl")
-
-    if objective == "paired":
-        def step(state: TrainState, batch):
-            state, aux = g_update(
-                state, lambda p: obj.paired_loss(cfg, p, batch))
-            return state.replace(step=state.step + 1), aux
-
-    elif objective == "adversarial":
-        def step(state: TrainState, batch):
-            state, aux = g_update(
-                state, lambda p: obj.generator_loss(
-                    cfg, p, state.d_params, {}, batch,
-                    use_acoustic=False, use_adv=True, lam=lam))
-            enh_log, enh_fl = _pop_enh(aux)
-            state, d_aux = d_update(state, batch, enh_log, enh_fl)
-            return state.replace(step=state.step + 1), {**aux, **d_aux}
-
-    elif objective == "acoustic":
-        def step(state: TrainState, batch):
-            state, aux = g_update(
-                state, lambda p: obj.generator_loss(
-                    cfg, p, {}, state.am_params, batch,
-                    use_acoustic=True, use_adv=False, lam=lam))
-            _pop_enh(aux)
-            return state.replace(step=state.step + 1), aux
-
-    elif objective == "aas":
-        def step(state: TrainState, batch):
-            state, aux = g_update(
-                state, lambda p: obj.generator_loss(
-                    cfg, p, state.d_params, state.am_params, batch,
-                    use_acoustic=True, use_adv=True, lam=lam))
-            enh_log, enh_fl = _pop_enh(aux)
-            state, d_aux = d_update(state, batch, enh_log, enh_fl)
-            return state.replace(step=state.step + 1), {**aux, **d_aux}
-
-    elif objective == "am":
-        def step(state: TrainState, batch):
-            def loss_fn(p):
-                return obj.am_pretrain_loss(cfg, p, batch)
-
-            (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.am_params)
-            new_params, new_opt = _apply_update(am_opt, grads, state.am_params,
-                                               state.am_opt)
-            aux["am_grad_norm"] = _grad_norm(grads)
-            return state.replace(am_params=new_params, am_opt=new_opt,
-                                 step=state.step + 1), aux
-
-    else:
         raise ValueError(f"unknown objective: {objective!r}")
+
+    def batch_grads(state: TrainState, batch) -> tuple[dict, dict]:
+        if k == 1:
+            return micro_grads(state, batch)
+        mbs = {kk: v.reshape((k, v.shape[0] // k) + v.shape[1:])
+               for kk, v in batch.items()}
+        first = jax.tree.map(lambda v: v[0], mbs)
+        rest = jax.tree.map(lambda v: v[1:], mbs)
+        init = micro_grads(state, first)
+
+        def body(carry, mb):
+            g, a = micro_grads(state, mb)
+            return (_tree_add(carry[0], g), _tree_add(carry[1], a)), None
+
+        (grads, aux), _ = jax.lax.scan(body, init, rest)
+        return _tree_scale(grads, 1.0 / k), _tree_scale(aux, 1.0 / k)
+
+    # ---------------------------------------------------------------- step
+    def step(state: TrainState, batch):
+        grads, aux = batch_grads(state, batch)
+        if "g" in grads:
+            new_params, new_opt = _apply_update(g_opt, grads["g"],
+                                                state.g_params, state.g_opt)
+            state = state.replace(g_params=new_params, g_opt=new_opt)
+            aux["g_grad_norm"] = _grad_norm(grads["g"])
+        if "d" in grads:
+            new_params, new_opt = _apply_update(d_opt, grads["d"],
+                                                state.d_params, state.d_opt)
+            state = state.replace(d_params=new_params, d_opt=new_opt)
+        if "am" in grads:
+            new_params, new_opt = _apply_update(am_opt, grads["am"],
+                                                state.am_params, state.am_opt)
+            state = state.replace(am_params=new_params, am_opt=new_opt)
+            aux["am_grad_norm"] = _grad_norm(grads["am"])
+        return state.replace(step=state.step + 1), aux
 
     return step

@@ -115,3 +115,49 @@ def test_prefetch_early_exit_no_thread_leak(corpus):
             return
         _time.sleep(0.1)
     raise AssertionError("prefetch producer thread still alive 5 s after train()")
+
+
+def test_grad_accum_matches_full_batch(corpus):
+    """k microbatches of equal real-row count average to the full-batch
+    gradient, so 10 steps with grad_accum=2 track 10 full-batch steps
+    closely (identical data order, same optimizer)."""
+    import jax
+
+    from aas_enhancement_tpu.train.loop import init_state
+    from aas_enhancement_tpu.train.steps import make_train_step
+
+    losses = {}
+    for k in (1, 2):
+        cfg = _tiny_cfg("aas", grad_accum=k)
+        cfg = cfg.replace(train=dataclasses.replace(cfg.train, steps_per_epoch=2))
+        state = init_state(cfg, jax.random.key(0))
+        step = jax.jit(make_train_step(cfg))
+        import numpy as np_
+        rng = np_.random.default_rng(0)
+        b, n = 4, 16000
+        batch = {
+            "wav": rng.standard_normal((b, n)).astype(np_.float32) * 0.1,
+            "wav_lengths": np_.full((b,), n, np_.int32),
+            "labels": rng.integers(1, 7, size=(b, 8)).astype(np_.int32),
+            "label_paddings": np_.zeros((b, 8), np_.float32),
+            "clean_wav": rng.standard_normal((b, n)).astype(np_.float32) * 0.1,
+            "clean_wav_lengths": np_.full((b,), n, np_.int32),
+        }
+        series = []
+        for _ in range(6):
+            state, aux = step(state, batch)
+            series.append(float(aux["loss_g"]))
+        losses[k] = series
+    # Full batch vs 2 microbatches: gradients equal up to microbatch-mean
+    # composition (equal real rows here), so the loss curves stay close.
+    diff = max(abs(a - b) for a, b in zip(losses[1], losses[2]))
+    rel = diff / max(abs(x) for x in losses[1])
+    assert rel < 2e-2, f"grad_accum diverged: {losses[1]} vs {losses[2]}"
+
+
+def test_grad_accum_batch_size_validation():
+    from aas_enhancement_tpu.train.steps import make_train_step
+
+    cfg = _tiny_cfg("am", grad_accum=3)  # batch_size=4 not divisible
+    with pytest.raises(ValueError, match="not divisible"):
+        make_train_step(cfg)
