@@ -66,9 +66,14 @@ class AcousticModel(nn.Module):
 
         b, t, f, ch = x.shape
         x = x.reshape(b, t, f * ch)
+        # ONE transpose into time-major for the whole RNN stack (the per-layer
+        # stack/flip/moveaxis of the batch-major path cost ~60 ms/step at
+        # B=128 — BASELINE.md trace breakdown); transpose back after.
+        x = jnp.transpose(x, (1, 0, 2))
         for i in range(self.cfg.rnn_layers):
             x = BiRNN(self.cfg.rnn_hidden, cell=self.cfg.rnn_type, dtype=dtype,
-                      name=f"rnn{i}")(x, out_lengths)
+                      time_major=True, name=f"rnn{i}")(x, out_lengths)
+        x = jnp.transpose(x, (1, 0, 2))
 
         # SequenceWise FC (shared across time) -> vocab logits.
         logits = nn.Dense(self.cfg.vocab_size, dtype=jnp.float32, name="fc")(

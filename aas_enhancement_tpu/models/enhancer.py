@@ -49,9 +49,12 @@ class Enhancer(nn.Module):
 
         b, t, f, c = x.shape
         x = x.reshape(b, t, f * c)
+        # One transpose around the whole BLSTM stack (see models/am.py note).
+        x = jnp.transpose(x, (1, 0, 2))
         for i in range(self.cfg.rnn_layers):
             x = BiRNN(self.cfg.rnn_hidden, cell="lstm", dtype=dtype,
-                      name=f"blstm{i}")(x, lengths)
+                      time_major=True, name=f"blstm{i}")(x, lengths)
+        x = jnp.transpose(x, (1, 0, 2))
 
         out = nn.Dense(log_mag.shape[-1], dtype=dtype, name="proj")(x)
         out = out.astype(jnp.float32)

@@ -46,23 +46,49 @@ class BiRNN(nn.Module):
     dtype: jnp.dtype = jnp.float32
     unroll: int = 4
     impl: str = "auto"           # "auto" | "xla" | "pallas"
+    time_major: bool = False     # x is [T,B,F] -> [T,B,H] (no per-layer
+                                 # transposes: the Pallas path consumes the
+                                 # hoisted gates as-is and realizes direction
+                                 # 1's time reversal in its index maps)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
-        b, t, _ = x.shape
+        t = x.shape[0] if self.time_major else x.shape[1]
+        b = x.shape[1] if self.time_major else x.shape[0]
         h = self.hidden
         g = 3 if self.cell == "gru" else 4
         dtype = self.dtype
         x = x.astype(dtype)
 
         # One hoisted MXU matmul for both directions' input gates.
-        gates = nn.Dense(2 * g * h, dtype=dtype, name="wx")(x)       # [B,T,2GH]
-        gates = gates.reshape(b, t, 2, g * h)
+        gates = nn.Dense(2 * g * h, dtype=dtype, name="wx")(x)
         w_h = self.param("wh", nn.initializers.orthogonal(),
                          (2, h, g * h), jnp.float32).astype(dtype)
         b_h = self.param("bh", nn.initializers.zeros,
                          (2, g * h), jnp.float32).astype(dtype)
 
+        use_pallas = self.impl == "pallas" or (self.impl == "auto" and _on_tpu())
+
+        if self.time_major:
+            # gates: [T,B,2GH]; first GH features are direction 0 (same
+            # parameter layout as the batch-major path's reshape).
+            gxf, gxb = gates[..., : g * h], gates[..., g * h:]
+            m_tm = time_mask(lengths, t, jnp.float32).T              # [T,B]
+            if use_pallas:
+                from aas_enhancement_tpu.ops.pallas.rnn_kernel import (
+                    gru_scan_tm, lstm_scan_tm)
+                fn = gru_scan_tm if self.cell == "gru" else lstm_scan_tm
+                yf, yb = fn(gxf, gxb, m_tm, w_h.astype(jnp.float32),
+                            b_h.astype(jnp.float32), not _on_tpu())
+                return (yf + yb).astype(dtype)
+            # XLA fallback: route through the stacked layout.
+            gx = jnp.stack([gxf, jnp.flip(gxb, axis=0)], axis=1)     # [T,2,B,GH]
+            m = jnp.stack([m_tm, jnp.flip(m_tm, axis=0)],
+                          axis=1)[..., None].astype(dtype)           # [T,2,B,1]
+            ys = self._xla_scan(gx, m, w_h, b_h, b)
+            return (ys[:, 0] + jnp.flip(ys[:, 1], axis=0)).astype(dtype)
+
+        gates = gates.reshape(b, t, 2, g * h)
         mask = time_mask(lengths, t, dtype)                          # [B,T]
         # Per-step stacked inputs: dir 0 forward order, dir 1 time-flipped.
         gx = jnp.stack([gates[:, :, 0], jnp.flip(gates[:, :, 1], axis=1)], axis=0)
@@ -70,19 +96,30 @@ class BiRNN(nn.Module):
         m = jnp.stack([mask, jnp.flip(mask, axis=1)], axis=0)        # [2,B,T]
         m = jnp.moveaxis(m, 2, 0)[..., None]                         # [T,2,B,1]
 
-        use_pallas = self.impl == "pallas" or (self.impl == "auto" and _on_tpu())
         if use_pallas:
             from aas_enhancement_tpu.ops.pallas.rnn_kernel import (
                 gru_scan_pallas, lstm_scan_pallas)
             w_h32 = w_h.astype(jnp.float32)
             b_h32 = b_h.astype(jnp.float32)
+            interp = not _on_tpu()
             if self.cell == "gru":
-                ys = gru_scan_pallas(gx, m[..., 0], w_h32, b_h32)
+                ys = gru_scan_pallas(gx, m[..., 0], w_h32, b_h32, interp)
             else:
-                ys = lstm_scan_pallas(gx, m[..., 0], w_h32, b_h32)
+                ys = lstm_scan_pallas(gx, m[..., 0], w_h32, b_h32, interp)
             fwd = jnp.moveaxis(ys[:, 0], 0, 1)
             bwd = jnp.flip(jnp.moveaxis(ys[:, 1], 0, 1), axis=1)
             return (fwd + bwd).astype(dtype)
+
+        ys = self._xla_scan(gx, m, w_h, b_h, b)
+        # ys: [T,2,B,H] -> fwd [B,T,H] + time-flipped bwd.
+        fwd = jnp.moveaxis(ys[:, 0], 0, 1)
+        bwd = jnp.flip(jnp.moveaxis(ys[:, 1], 0, 1), axis=1)
+        return fwd + bwd
+
+    def _xla_scan(self, gx, m, w_h, b_h, b):
+        """Masked bidirectional scan over stacked [T,2,B,·] inputs -> [T,2,B,H]."""
+        h = self.hidden
+        dtype = self.dtype
 
         def rec_matmul(hs):                                          # [2,B,H]
             return jax.lax.dot_general(
@@ -119,7 +156,4 @@ class BiRNN(nn.Module):
             carry0 = (jnp.zeros((2, b, h), dtype), jnp.zeros((2, b, h), dtype))
 
         _, ys = jax.lax.scan(step, carry0, (gx, m), unroll=self.unroll)
-        # ys: [T,2,B,H] -> fwd [B,T,H] + time-flipped bwd.
-        fwd = jnp.moveaxis(ys[:, 0], 0, 1)
-        bwd = jnp.flip(jnp.moveaxis(ys[:, 1], 0, 1), axis=1)
-        return fwd + bwd
+        return ys

@@ -135,3 +135,89 @@ def test_gru_vjp_matches_scan():
     for a, b_, name in zip(gk, gr, ["dgx", "dwh", "dbh"]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    atol=2e-4, rtol=2e-4, err_msg=name)
+
+
+# ---------------------------------------------------------------------------
+# Time-major dual-stream interface (direction-1 reversal via index maps)
+# ---------------------------------------------------------------------------
+
+from aas_enhancement_tpu.ops.pallas.rnn_kernel import (  # noqa: E402
+    gru_scan_tm, lstm_scan_tm)
+
+
+def _tm_inputs(t, b, h, g, seed=0, frac_padded=0.3):
+    rng = np.random.default_rng(seed)
+    gxf = jnp.asarray(rng.standard_normal((t, b, g * h)).astype(np.float32) * 0.5)
+    gxb = jnp.asarray(rng.standard_normal((t, b, g * h)).astype(np.float32) * 0.5)
+    wh = jnp.asarray(rng.standard_normal((2, h, g * h)).astype(np.float32) * 0.3)
+    bh = jnp.asarray(rng.standard_normal((2, g * h)).astype(np.float32) * 0.1)
+    lengths = rng.integers(int(t * (1 - frac_padded)), t + 1, size=(b,))
+    m = jnp.asarray((np.arange(t)[:, None] < lengths[None]).astype(np.float32))
+    return gxf, gxb, m, wh, bh
+
+
+@pytest.mark.parametrize("cell,g", [("lstm", 4), ("gru", 3)])
+@pytest.mark.parametrize("t", [16, 21, 40])
+def test_tm_matches_stacked_interface(cell, g, t):
+    """tm(gxf, gxb, m) == stacked([gxf, flip(gxb)], [m, flip(m)]) with the
+    outputs un-flipped — i.e. the index-map reversal is exactly the host-side
+    flip it replaces."""
+    gxf, gxb, m, wh, bh = _tm_inputs(t, 4, 8, g)
+    old = lstm_scan_pallas if cell == "lstm" else gru_scan_pallas
+    tm = lstm_scan_tm if cell == "lstm" else gru_scan_tm
+    gx_old = jnp.stack([gxf, jnp.flip(gxb, axis=0)], axis=1)
+    m_old = jnp.stack([m, jnp.flip(m, axis=0)], axis=1)
+    y_old = old(gx_old, m_old, wh, bh, True)
+    yf, yb = tm(gxf, gxb, m, wh, bh, True)
+    np.testing.assert_allclose(np.asarray(yf), np.asarray(y_old[:, 0]),
+                               atol=1e-6, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(yb),
+                               np.asarray(jnp.flip(y_old[:, 1], axis=0)),
+                               atol=1e-6, rtol=1e-6)
+
+
+@pytest.mark.parametrize("cell,g", [("lstm", 4), ("gru", 3)])
+def test_tm_vjp_matches_stacked_interface(cell, g):
+    gxf, gxb, m, wh, bh = _tm_inputs(24, 4, 8, g, seed=7)
+    old = lstm_scan_pallas if cell == "lstm" else gru_scan_pallas
+    tm = lstm_scan_tm if cell == "lstm" else gru_scan_tm
+    rng = np.random.default_rng(13)
+    cf = jnp.asarray(rng.standard_normal((24, 4, 8)).astype(np.float32))
+    cb = jnp.asarray(rng.standard_normal((24, 4, 8)).astype(np.float32))
+    m_old = jnp.stack([m, jnp.flip(m, axis=0)], axis=1)
+
+    def loss_tm(gxf, gxb, wh, bh):
+        yf, yb = tm(gxf, gxb, m, wh, bh, True)
+        return jnp.sum(yf * cf) + jnp.sum(yb * cb)
+
+    def loss_old(gxf, gxb, wh, bh):
+        gx = jnp.stack([gxf, jnp.flip(gxb, axis=0)], axis=1)
+        y = old(gx, m_old, wh, bh, True)
+        return jnp.sum(y[:, 0] * cf) + jnp.sum(jnp.flip(y[:, 1], axis=0) * cb)
+
+    g_tm = jax.grad(loss_tm, argnums=(0, 1, 2, 3))(gxf, gxb, wh, bh)
+    g_old = jax.grad(loss_old, argnums=(0, 1, 2, 3))(gxf, gxb, wh, bh)
+    for a, b_, name in zip(g_tm, g_old, ["dgxf", "dgxb", "dwh", "dbh"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=2e-5, rtol=2e-5, err_msg=name)
+
+
+def test_birnn_time_major_matches_batch_major():
+    """BiRNN(time_major=True) on x.T == BiRNN on x (same params), both impls."""
+    from aas_enhancement_tpu.ops.rnn import BiRNN
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((4, 19, 12)).astype(np.float32))
+    lengths = jnp.asarray([19, 15, 11, 7], jnp.int32)
+    for cell in ("gru", "lstm"):
+        bm = BiRNN(8, cell=cell, impl="xla")
+        params = bm.init(jax.random.key(0), x, lengths)
+        y_bm = bm.apply(params, x, lengths)
+        tmod = BiRNN(8, cell=cell, impl="xla", time_major=True)
+        y_tm = tmod.apply(params, jnp.transpose(x, (1, 0, 2)), lengths)
+        np.testing.assert_allclose(np.asarray(jnp.transpose(y_tm, (1, 0, 2))),
+                                   np.asarray(y_bm), atol=1e-5, rtol=1e-5)
+        tp = BiRNN(8, cell=cell, impl="pallas", time_major=True)
+        y_tp = tp.apply(params, jnp.transpose(x, (1, 0, 2)), lengths)
+        np.testing.assert_allclose(np.asarray(jnp.transpose(y_tp, (1, 0, 2))),
+                                   np.asarray(y_bm), atol=1e-5, rtol=1e-5)
