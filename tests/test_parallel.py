@@ -81,3 +81,27 @@ def test_uneven_batch_padding():
     padded = pad_batch_to_devices(b, 8)
     assert padded["wav"].shape[0] == 8
     np.testing.assert_array_equal(padded["wav"][5], b["wav"][0])
+
+
+def test_grad_accum_on_mesh():
+    """grad_accum splits the batch dim into (k, B/k) INSIDE the sharded step —
+    the reshape over the data-sharded dim must compile and track the k=1 run."""
+    def run(k):
+        cfg = _cfg("aas", 8)
+        cfg = cfg.replace(train=dataclasses.replace(cfg.train, grad_accum=k))
+        mesh = make_mesh(cfg.mesh)
+        state = init_state(cfg, jax.random.key(0))
+        state = replicate_state(mesh, state)
+        step = jax.jit(make_train_step(cfg))
+        batch = pad_batch_to_devices(_batch(), 8)
+        with mesh:
+            sb = shard_batch(mesh, batch)
+            state, aux = step(state, sb)
+        return {kk: float(v) for kk, v in aux.items()}
+
+    a1 = run(1)
+    a2 = run(2)
+    # k microbatches of equal real-row count: identical losses up to
+    # accumulation/reduction order.
+    np.testing.assert_allclose(a1["loss_g"], a2["loss_g"], rtol=1e-3)
+    np.testing.assert_allclose(a1["loss_d"], a2["loss_d"], rtol=1e-3)
