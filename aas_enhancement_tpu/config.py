@@ -24,7 +24,10 @@ class AudioConfig:
     window: str = "hann"         # "hann" | "hamming"
     center: bool = True          # reflect-pad n_fft//2 on both sides (librosa-style)
     normalize: bool = True       # per-utterance mean/std normalization of log-mag
-    stft_impl: str = "auto"      # "jax" | "pallas" | "auto" (pallas on TPU when eligible)
+    stft_impl: str = "auto"      # "jax"/"auto" = XLA segment matmul-DFT (the
+                                 # production path — it fuses into the jitted
+                                 # step); "pallas" = the standalone fused
+                                 # kernels (dsp/api.py rationale)
 
     @property
     def n_fft(self) -> int:

@@ -266,17 +266,24 @@ class UnpairedCleanStream:
         self.ds = dataset
         self.batch_size = batch_size
         self.rng = np.random.default_rng(seed)
+        self._draws = 0   # per-call counter: the augment-RNG "epoch" key, so
+                          # clean-side augmentation varies per draw (not frozen
+                          # at epoch 0) yet stays position-deterministic for
+                          # resume fast-forward (skip() advances it too)
 
     def next_batch(self, bucket: int) -> Batch:
         """A clean batch padded to `bucket` samples (matches the noisy batch shape)."""
         idx = self.rng.integers(0, len(self.ds.items), size=self.batch_size)
         items = [self.ds.items[i] for i in idx]
-        return self.ds.make_batch(items, bucket_override=bucket)
+        self._draws += 1
+        return self.ds.make_batch(items, bucket_override=bucket,
+                                  epoch=self._draws - 1)
 
     def skip(self) -> None:
         """Advance the stream without decoding (used by resume fast-forward so a
         resumed run sees the same clean batches as an uninterrupted one)."""
         self.rng.integers(0, len(self.ds.items), size=self.batch_size)
+        self._draws += 1
 
 
 def _to_int16(x: np.ndarray) -> np.ndarray:

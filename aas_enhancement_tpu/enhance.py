@@ -79,14 +79,18 @@ def make_streaming_enhance_fn(cfg: Config):
     converging to the offline regime as the stream progresses instead of
     re-normalizing every window from scratch.
 
-    fn(params, wav [B, n], lengths [B], stats_start, run_sum, run_sumsq,
-       run_count) -> (enhanced [B, n], block_sum, block_sumsq, block_count)
+    fn(params, wav [B, n], lengths [B], stats_start, stats_end, run_sum,
+       run_sumsq, run_count) -> (enhanced [B, n], block_sum, block_sumsq,
+       block_count)
 
-    stats_start: frame index where NEW frames begin (frames before it are
-    history already folded into the running moments — or synthetic leading
-    silence on the first block — and must not be double-counted).  The
-    returned block moments cover [stats_start, frame_length) and are the
-    host's next running-stats increment.
+    stats_start / stats_end: the frame window whose statistics this block
+    CONTRIBUTES to the running moments.  Frames before stats_start are
+    history already folded in (or synthetic leading silence on the first
+    block); frames at/after stats_end are lookahead that the NEXT block will
+    own (counting them here would double-count every chunk boundary).  The
+    full block (history+chunk+lookahead) still participates in this block's
+    normalization via the combined running+block moments; only the increment
+    handed back to the host is windowed.
 
     Memoized on (audio, enhancer) config — see make_enhance_fn.
     """
@@ -101,7 +105,8 @@ def _make_streaming_enhance_fn(audio_cfg, enhancer_cfg):
     model = Enhancer(enhancer_cfg)
 
     @jax.jit
-    def enhance(params, wav, lengths, stats_start, run_sum, run_sumsq, run_count):
+    def enhance(params, wav, lengths, stats_start, stats_end,
+                run_sum, run_sumsq, run_count):
         re, im = dsp_api.stft(a, wav)
         mag = magnitude(re, im)
         ph = phase(re, im)
@@ -113,7 +118,7 @@ def _make_streaming_enhance_fn(audio_cfg, enhancer_cfg):
 
         valid = time_mask(frame_lengths, t_max)            # [B, T]
         t_idx = jnp.arange(t_max, dtype=jnp.int32)[None, :]
-        new = valid * (t_idx >= stats_start)               # frames to count
+        new = valid * (t_idx >= stats_start) * (t_idx < stats_end)
         new_f = new[:, :, None]
         b_sum = jnp.sum(log_mag * new_f)
         b_sumsq = jnp.sum((log_mag ** 2) * new_f)

@@ -63,7 +63,8 @@ class StreamingEnhancer:
         self._buf = np.concatenate([self._buf, samples.astype(np.float32)])
         out = []
         while len(self._buf) >= self.chunk + self.lookahead:
-            enhanced = self._run(self._buf[: self.chunk + self.lookahead])
+            enhanced = self._run(self._buf[: self.chunk + self.lookahead],
+                                 consumed=self.chunk)
             out.append(enhanced[self.history: self.history + self.chunk])
             self._roll_history(self._buf[: self.chunk])
             self._buf = self._buf[self.chunk:]
@@ -85,21 +86,27 @@ class StreamingEnhancer:
             return
         self._hist = np.concatenate([self._hist, consumed])[-self.history:]
 
-    def _run(self, new: np.ndarray) -> np.ndarray:
+    def _run(self, new: np.ndarray, consumed: int | None = None) -> np.ndarray:
         hop = self.cfg.audio.hop_length
         block = np.zeros(self._window, np.float32)
         block[: self.history] = self._hist
         block[self.history: self.history + len(new)] = new
         valid = self.history + len(new)
-        # Frames wholly before the first NEW sample are history (already in the
-        # running moments) or synthetic silence — exclude from this block's
-        # stats increment.  Frame f covers samples starting near f*hop (center
-        # padding shifts by n_fft//2, a sub-frame offset we absorb here).
+        # The stats increment covers exactly the samples this call CONSUMES
+        # (chunk in feed, everything in flush).  Frames before are history
+        # (already in the running moments) or synthetic silence; frames after
+        # are lookahead the NEXT block owns — counting them here would
+        # double-count every chunk boundary.  Frame f covers samples starting
+        # near f*hop (center padding shifts by n_fft//2, a sub-frame offset we
+        # absorb here).
+        consumed = len(new) if consumed is None else consumed
         stats_start = self.history // hop
+        stats_end = (self.history + consumed) // hop
         wav_out, s, ss, n = self._fn(
             self.params, jnp.asarray(block)[None],
             jnp.array([valid], jnp.int32),
             jnp.asarray(stats_start, jnp.int32),
+            jnp.asarray(stats_end, jnp.int32),
             jnp.asarray(self._sum, jnp.float32),
             jnp.asarray(self._sumsq, jnp.float32),
             jnp.asarray(self._count, jnp.float32))

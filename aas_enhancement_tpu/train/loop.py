@@ -363,7 +363,10 @@ def train(cfg: Config, noisy_manifest: str, clean_manifest: str | None = None,
                 bd["clean_row_weights"] = cw
             yield i, shard_batch(mesh, bd)
 
-    last_logged = -1
+    # Throughput baseline = the step count THIS process started from, so the
+    # first log after a checkpoint resume divides by the steps actually run
+    # here (not by the whole resumed step count).
+    last_logged = steps_done
     with mesh:
         for epoch in range(start_epoch, cfg.train.epochs):
             if done:
@@ -380,8 +383,9 @@ def train(cfg: Config, noisy_manifest: str, clean_manifest: str | None = None,
                 if s % cfg.train.log_every == 0 or s == 1 or is_last:
                     aux = {k: float(v) for k, v in aux.items()}
                     now = time.perf_counter()
-                    utts_sec = cfg.train.batch_size * (s - max(last_logged, 0)) / max(
-                        now - t_last, 1e-9) if s > 1 else 0.0
+                    utts_sec = (cfg.train.batch_size * (s - last_logged)
+                                / max(now - t_last, 1e-9)
+                                if s > last_logged + 1 else 0.0)
                     t_last = now
                     rec = {"step": s, "epoch": epoch, "utts_per_sec": utts_sec, **aux}
                     records.append(rec)

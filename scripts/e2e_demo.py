@@ -118,6 +118,16 @@ def main():
     result["wer_delta_test"] = enh_wer["wer"] - noisy_wer["wer"]
     result["sample"]["hyp_enhanced"] = enh_wer["sample_hyp"]
 
+    # --- 4b. Beam + char-LM decode on the held-out split (the reference's
+    # ctcdecode beam+KenLM eval mode; LM trained on TRAIN transcripts only).
+    from aas_enhancement_tpu.decode.lm import CharNGramLM
+    lm = CharNGramLM.from_manifests([manifests["noisy"]], order=3)
+    beam_kw = dict(batch_size=args.batch_size, decoder="beam", beam_width=16,
+                   lm=lm, lm_alpha=0.4, lm_beta=0.0)
+    result["wer_enhanced_test_beam_lm"] = evaluate_wer(
+        cfg_aas, am_params, test["noisy"], g_params=aas_state.g_params,
+        **beam_kw)["wer"]
+
     # Train-split numbers too (memorization-vs-generalization diagnostic).
     noisy_train = evaluate_wer(cfg_am, am_params, manifests["noisy"],
                                batch_size=args.batch_size)
