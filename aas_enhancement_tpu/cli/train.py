@@ -58,6 +58,9 @@ def main(argv=None) -> None:
     p.add_argument("--continue-from", dest="resume", action="store_true",
                    help="resume from the latest checkpoint in --checkpoint-dir")
     p.add_argument("--metrics", help="JSONL metrics path")
+    p.add_argument("--profile-dir",
+                   help="capture a jax.profiler trace of a few steady-state "
+                        "steps into this dir (XProf/Perfetto)")
     p.add_argument("--tensorboard", help="TensorBoard log dir (needs tensorflow)")
     args = p.parse_args(argv)
 
@@ -80,6 +83,8 @@ def main(argv=None) -> None:
         tr["lr_anneal"] = args.lr_anneal
     if args.sortagrad:
         tr["sortagrad"] = True
+    if args.profile_dir:
+        tr["profile_dir"] = args.profile_dir
     cfg = cfg.replace(train=dataclasses.replace(cfg.train, **tr))
     if args.val_manifest:
         cfg = cfg.replace(data=dataclasses.replace(cfg.data,

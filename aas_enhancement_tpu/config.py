@@ -106,6 +106,11 @@ class TrainConfig:
     grad_accum: int = 1          # microbatches per optimizer update (k > 1
                                  # scans the split batch inside ONE jitted step;
                                  # peak activation memory scales with batch/k)
+    profile_dir: str = ""        # capture a jax.profiler trace of steps
+                                 # [profile_start, profile_start+profile_steps)
+                                 # into this dir (SURVEY.md §5 tracing)
+    profile_start: int = 10      # first traced step (past warmup compiles)
+    profile_steps: int = 3
 
 
 @dataclass(frozen=True)

@@ -367,6 +367,7 @@ def train(cfg: Config, noisy_manifest: str, clean_manifest: str | None = None,
     # first log after a checkpoint resume divides by the steps actually run
     # here (not by the whole resumed step count).
     last_logged = steps_done
+    profiling = False
     with mesh:
         for epoch in range(start_epoch, cfg.train.epochs):
             if done:
@@ -377,6 +378,18 @@ def train(cfg: Config, noisy_manifest: str, clean_manifest: str | None = None,
                 state, aux = step(state, bd)
 
                 s = int(state.step)
+                # In-training profiler capture (SURVEY.md §5 "Tracing/
+                # profiling"): trace a few steady-state steps into XProf/
+                # Perfetto format.  int(state.step) above already syncs, so
+                # the window brackets whole steps.
+                if cfg.train.profile_dir:
+                    if s == cfg.train.profile_start:
+                        jax.profiler.start_trace(cfg.train.profile_dir)
+                        profiling = True
+                    elif profiling and s >= (cfg.train.profile_start
+                                             + cfg.train.profile_steps):
+                        jax.profiler.stop_trace()
+                        profiling = False
                 is_last = (max_steps and s >= max_steps) or (
                     epoch == cfg.train.epochs - 1
                     and i == cfg.train.steps_per_epoch - 1)
@@ -411,5 +424,7 @@ def train(cfg: Config, noisy_manifest: str, clean_manifest: str | None = None,
         ckpt.save(mgr, int(state.step), jax.device_get(state))
         mgr.wait_until_finished()
         mgr.close()
+    if profiling:   # training ended inside the trace window
+        jax.profiler.stop_trace()
     logger.close()
     return jax.device_get(state), records

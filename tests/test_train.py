@@ -161,3 +161,16 @@ def test_grad_accum_batch_size_validation():
     cfg = _tiny_cfg("am", grad_accum=3)  # batch_size=4 not divisible
     with pytest.raises(ValueError, match="not divisible"):
         make_train_step(cfg)
+
+
+def test_profile_capture(corpus, tmp_path):
+    """TrainConfig.profile_dir captures an XProf trace of a few steps (and the
+    early-exit path closes the trace cleanly)."""
+    import os
+
+    d = str(tmp_path / "trace")
+    cfg = _tiny_cfg("paired", profile_dir=d, profile_start=2, profile_steps=2)
+    train(cfg, corpus["noisy"], corpus["clean"], paired=True, max_steps=5)
+    files = [os.path.join(r, f) for r, _, fs in os.walk(d) for f in fs]
+    assert any(f.endswith(".xplane.pb") or f.endswith(".trace.json.gz")
+               for f in files), f"no trace artifacts under {d}: {files}"
