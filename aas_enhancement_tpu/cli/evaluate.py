@@ -32,6 +32,9 @@ def main(argv=None) -> None:
     p.add_argument("--lm-alpha", type=float, default=0.5, help="LM weight")
     p.add_argument("--lm-beta", type=float, default=0.0,
                    help="per-symbol insertion bonus")
+    p.add_argument("--clean-manifest",
+                   help="paired clean manifest: also report SI-SNR (dB) of "
+                        "noisy and enhanced waveforms vs the clean references")
     args = p.parse_args(argv)
 
     from aas_enhancement_tpu.utils import jax_cache
@@ -57,6 +60,7 @@ def main(argv=None) -> None:
               beam_width=args.beam_width, lm=lm, lm_alpha=args.lm_alpha,
               lm_beta=args.lm_beta)
     result = {"noisy": evaluate_wer(cfg, am_params, args.manifest, **kw)}
+    g_params = None
     if args.enhancer_checkpoint:
         g_state, g_cfg = load_state(args.enhancer_checkpoint)
         g_params = g_state.g_params
@@ -66,6 +70,10 @@ def main(argv=None) -> None:
         result["enhanced"] = evaluate_wer(cfg, am_params, args.manifest,
                                           g_params=g_params, **kw)
         result["wer_delta"] = result["enhanced"]["wer"] - result["noisy"]["wer"]
+    if args.clean_manifest:
+        from aas_enhancement_tpu.evaluation import evaluate_si_snr
+        result["si_snr"] = evaluate_si_snr(
+            cfg, args.manifest, args.clean_manifest, g_params=g_params)
     print(json.dumps(result))
 
 

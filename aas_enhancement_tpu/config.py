@@ -88,6 +88,10 @@ class TrainConfig:
     momentum: float = 0.9        # SGD momentum for AM pre-training
     max_grad_norm: float = 400.0  # reference clips grads hard (deepspeech-era default)
     lambda_adv: float = 1.0      # weight on adversarial term in the joint AAS loss
+    lambda_mrstft: float = 0.0   # weight on the multi-resolution STFT loss in
+                                 # the PAIRED objective (0 = off; beyond-
+                                 # reference quality term, PAPERS.md Parallel
+                                 # WaveGAN)
     gan_loss: str = "lsgan"      # "lsgan" | "bce"
     epochs: int = 10
     steps_per_epoch: int = 0     # 0 = derive from dataset

@@ -87,3 +87,61 @@ def evaluate_wer(cfg: Config, am_params, manifest, g_params=None,
     c = float(np.mean([cer(r, h) for r, h in zip(refs, hyps)])) if refs else 0.0
     return {"wer": w, "cer": c, "utterances": len(refs),
             "sample_ref": refs[0] if refs else "", "sample_hyp": hyps[0] if hyps else ""}
+
+
+def si_snr(est: np.ndarray, ref: np.ndarray) -> float:
+    """Scale-invariant SNR (dB) of one estimated waveform vs its reference.
+
+    Standard enhancement-quality metric (zero-mean, project est onto ref,
+    10*log10 of signal power over residual power).  Complements WER — the
+    north star is recognition quality, SI-SNR measures signal fidelity.
+    """
+    est = np.asarray(est, np.float64)
+    ref = np.asarray(ref, np.float64)
+    n = min(len(est), len(ref))
+    est, ref = est[:n] - est[:n].mean(), ref[:n] - ref[:n].mean()
+    denom = np.dot(ref, ref) + 1e-12
+    s_t = (np.dot(est, ref) / denom) * ref
+    e = est - s_t
+    return float(10.0 * np.log10((np.dot(s_t, s_t) + 1e-12)
+                                 / (np.dot(e, e) + 1e-12)))
+
+
+def evaluate_si_snr(cfg: Config, noisy_manifest: str, clean_manifest: str,
+                    g_params=None, streamed_manifest: str | None = None) -> dict:
+    """Mean SI-SNR of noisy (and optionally enhanced / pre-enhanced) wavs vs
+    their paired clean references.  `g_params` enhances on the fly via the
+    fused inference path; `streamed_manifest` scores pre-written wavs (e.g.
+    the streaming pipeline's output)."""
+    from aas_enhancement_tpu.data.manifest import read_manifest
+    from aas_enhancement_tpu.data.wav import read_wav
+
+    noisy = read_manifest(noisy_manifest)
+    clean = read_manifest(clean_manifest)
+    if len(noisy) != len(clean):
+        raise ValueError("SI-SNR needs paired manifests of equal length")
+    enh_fn = None
+    if g_params is not None:
+        from aas_enhancement_tpu.enhance import make_enhance_fn
+        enh_fn = make_enhance_fn(cfg)
+
+    src = {"noisy": [], "enhanced": [], "streamed": []}
+    streamed = (read_manifest(streamed_manifest)
+                if streamed_manifest else [None] * len(noisy))
+    for (npath, _), (cpath, _), srow in zip(noisy, clean, streamed):
+        nw, _ = read_wav(npath)
+        cw, _ = read_wav(cpath)
+        src["noisy"].append(si_snr(nw, cw))
+        if enh_fn is not None:
+            ew = np.asarray(enh_fn(
+                g_params, jnp.asarray(nw)[None],
+                jnp.asarray([len(nw)], jnp.int32))[0])
+            src["enhanced"].append(si_snr(ew, cw))
+        if srow is not None:
+            sw, _ = read_wav(srow[0])
+            src["streamed"].append(si_snr(sw, cw))
+
+    out = {f"si_snr_{k}": float(np.mean(v)) for k, v in src.items() if v}
+    if "si_snr_enhanced" in out:
+        out["si_snr_improvement"] = out["si_snr_enhanced"] - out["si_snr_noisy"]
+    return out

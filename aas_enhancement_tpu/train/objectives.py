@@ -73,12 +73,58 @@ def masked_l1(pred: jnp.ndarray, target: jnp.ndarray, lengths: jnp.ndarray,
     return _wmean(per_ex, weights)
 
 
+def mr_stft_loss(cfg: Config, est_wav: jnp.ndarray, ref_wav: jnp.ndarray,
+                 weights=None,
+                 resolutions: tuple = ((256, 64), (512, 128), (1024, 256))
+                 ) -> jnp.ndarray:
+    """Multi-resolution STFT loss (Parallel WaveGAN, arXiv:1910.11480 —
+    PAPERS.md): mean over resolutions of spectral convergence + log-magnitude
+    L1 between waveforms.  Beyond-reference quality term for the paired
+    objective (TrainConfig.lambda_mrstft)."""
+    from aas_enhancement_tpu.dsp.stft import stft as stft_raw
+
+    eps = 1e-7
+    total = jnp.zeros((), jnp.float32)
+    for n_fft, hop in resolutions:
+        re_e, im_e = stft_raw(est_wav.astype(jnp.float32), n_fft, hop,
+                              "hann", True)
+        re_r, im_r = stft_raw(ref_wav.astype(jnp.float32), n_fft, hop,
+                              "hann", True)
+        mag_e = magnitude(re_e, im_e)
+        mag_r = magnitude(re_r, im_r)
+        diff = jnp.sqrt(jnp.sum((mag_r - mag_e) ** 2, axis=(1, 2)) + eps)
+        ref_n = jnp.sqrt(jnp.sum(mag_r ** 2, axis=(1, 2)) + eps)
+        sc = diff / ref_n                                       # [B]
+        logl1 = jnp.mean(jnp.abs(jnp.log(mag_r + eps) - jnp.log(mag_e + eps)),
+                         axis=(1, 2))                           # [B]
+        total = total + _wmean(sc + logl1, weights)
+    return total / len(resolutions)
+
+
 def paired_loss(cfg: Config, g_params, batch) -> tuple[jnp.ndarray, dict]:
-    """Config 2: L1 between enhanced and clean log-magnitudes (BASELINE.json:8)."""
-    _, enh_log, fl = enhancer_forward(cfg, g_params, batch["wav"], batch["wav_lengths"])
+    """Config 2: L1 between enhanced and clean log-magnitudes (BASELINE.json:8),
+    optionally + lambda_mrstft * multi-resolution STFT loss on the
+    reconstructed waveform (noisy phase, the actual inference output)."""
+    from aas_enhancement_tpu.dsp import api as dsp_api_mod
+    from aas_enhancement_tpu.dsp.stft import phase
+
+    enh_mag, enh_log, fl = enhancer_forward(cfg, g_params, batch["wav"],
+                                            batch["wav_lengths"])
     _, clean_log, _ = device_features(cfg, batch["clean_wav"], batch["wav_lengths"])
-    loss = masked_l1(enh_log, clean_log, fl, _row_weights(batch))
-    return loss, {"loss_paired": loss}
+    rw = _row_weights(batch)
+    loss = masked_l1(enh_log, clean_log, fl, rw)
+    aux = {"loss_paired": loss}
+    lam_mr = getattr(cfg.train, "lambda_mrstft", 0.0)
+    if lam_mr > 0.0:
+        re, im = dsp_api_mod.stft(cfg.audio, batch["wav"])
+        ph = phase(re, im)
+        enh_wav = dsp_api_mod.reconstruct(cfg.audio, enh_mag, ph,
+                                          length=batch["wav"].shape[1])
+        l_mr = mr_stft_loss(cfg, enh_wav, batch["clean_wav"], weights=rw)
+        loss = loss + lam_mr * l_mr
+        aux["loss_mrstft"] = l_mr
+        aux["loss_paired_total"] = loss
+    return loss, aux
 
 
 def gan_g_loss(cfg: Config, scores_fake: jnp.ndarray, weights=None) -> jnp.ndarray:

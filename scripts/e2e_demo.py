@@ -161,6 +161,12 @@ def main():
         result["wer_streamed_test"] = stream_wer["wer"]
         result["streaming_penalty"] = stream_wer["wer"] - enh_wer["wer"]
 
+        # --- 6. Signal-fidelity metrics (SI-SNR, dB) on the held-out split.
+        from aas_enhancement_tpu.evaluation import evaluate_si_snr
+        result.update(evaluate_si_snr(cfg_aas, test["noisy"], test["clean"],
+                                      g_params=aas_state.g_params,
+                                      streamed_manifest=smanifest))
+
     result["wall_minutes"] = round((time.time() - t0) / 60.0, 1)
 
     out = args.out or os.path.join(wd, "result.json")

@@ -64,3 +64,21 @@ def test_wer_cer():
     assert wer("A B", "") == 1.0
     assert cer("ABC", "ABD") == 1 / 3
     assert corpus_wer(["A B", "C D"], ["A B", "C X"]) == 0.25
+
+
+def test_si_snr_metric():
+    """SI-SNR: scale-invariant, +inf-ish for identical, low for noise."""
+    import numpy as np
+
+    from aas_enhancement_tpu.evaluation import si_snr
+
+    rng = np.random.default_rng(0)
+    ref = rng.standard_normal(16000).astype(np.float32)
+    assert si_snr(ref, ref) > 50.0
+    noisy = ref + rng.standard_normal(16000).astype(np.float32)
+    mid = si_snr(noisy, ref)
+    assert -5.0 < mid < 10.0
+    # Scale invariance (on an imperfect estimate — a perfect one is limited
+    # by float rounding, which scaling perturbs).
+    assert abs(si_snr(0.3 * noisy, ref) - mid) < 1e-3
+    assert si_snr(rng.standard_normal(16000), ref) < mid

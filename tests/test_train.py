@@ -174,3 +174,29 @@ def test_profile_capture(corpus, tmp_path):
     files = [os.path.join(r, f) for r, _, fs in os.walk(d) for f in fs]
     assert any(f.endswith(".xplane.pb") or f.endswith(".trace.json.gz")
                for f in files), f"no trace artifacts under {d}: {files}"
+
+
+def test_mrstft_paired_loss_decreases(corpus):
+    """Paired objective with the multi-resolution STFT auxiliary term trains."""
+    cfg = _tiny_cfg("paired", lambda_mrstft=0.5)
+    _, recs = train(cfg, corpus["noisy"], corpus["clean"], paired=True,
+                    max_steps=12)
+    mr = [r["loss_mrstft"] for r in recs if "loss_mrstft" in r]
+    assert len(mr) >= 6 and all(np.isfinite(v) for v in mr)
+    first, last = _first_last(recs, "loss_paired_total")
+    assert last < first, f"paired+mrstft loss did not decrease: {first} -> {last}"
+
+
+def test_mrstft_zero_for_identical_waves():
+    import jax
+    import jax.numpy as jnp
+
+    from aas_enhancement_tpu.config import Config
+    from aas_enhancement_tpu.train.objectives import mr_stft_loss
+
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((2, 8000)).astype(np.float32) * 0.1)
+    same = float(mr_stft_loss(Config(), w, w))
+    diff = float(mr_stft_loss(Config(), w, jnp.flip(w, axis=1)))
+    assert same < 1e-3
+    assert diff > 10 * max(same, 1e-6)
