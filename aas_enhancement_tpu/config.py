@@ -110,10 +110,10 @@ class TrainConfig:
     grad_accum: int = 1          # microbatches per optimizer update (k > 1
                                  # scans the split batch inside ONE jitted step;
                                  # peak activation memory scales with batch/k)
-    profile_dir: str = ""        # capture a jax.profiler trace of steps
-                                 # [profile_start, profile_start+profile_steps)
-                                 # into this dir (SURVEY.md §5 tracing)
-    profile_start: int = 10      # first traced step (past warmup compiles)
+    profile_dir: str = ""        # capture a jax.profiler trace of profile_steps
+                                 # steps starting at the first step >=
+                                 # profile_start (SURVEY.md §5 tracing)
+    profile_start: int = 10      # trace begins past warmup compiles
     profile_steps: int = 3
 
 

@@ -120,25 +120,34 @@ def evaluate_si_snr(cfg: Config, noisy_manifest: str, clean_manifest: str,
     clean = read_manifest(clean_manifest)
     if len(noisy) != len(clean):
         raise ValueError("SI-SNR needs paired manifests of equal length")
+    streamed = read_manifest(streamed_manifest) if streamed_manifest else None
+    if streamed is not None and len(streamed) != len(noisy):
+        raise ValueError(
+            f"streamed manifest has {len(streamed)} rows, expected "
+            f"{len(noisy)} — zip would silently truncate all metrics")
     enh_fn = None
     if g_params is not None:
         from aas_enhancement_tpu.enhance import make_enhance_fn
         enh_fn = make_enhance_fn(cfg)
 
+    sr = cfg.audio.sample_rate
     src = {"noisy": [], "enhanced": [], "streamed": []}
-    streamed = (read_manifest(streamed_manifest)
-                if streamed_manifest else [None] * len(noisy))
-    for (npath, _), (cpath, _), srow in zip(noisy, clean, streamed):
+    for i, ((npath, _), (cpath, _)) in enumerate(zip(noisy, clean)):
         nw, _ = read_wav(npath)
         cw, _ = read_wav(cpath)
         src["noisy"].append(si_snr(nw, cw))
         if enh_fn is not None:
+            # Pad to whole-second buckets so the fused program compiles once
+            # per bucket, not once per distinct utterance length.
+            bucket = max(sr, ((len(nw) + sr - 1) // sr) * sr)
+            padded = np.zeros(bucket, np.float32)
+            padded[: len(nw)] = nw
             ew = np.asarray(enh_fn(
-                g_params, jnp.asarray(nw)[None],
-                jnp.asarray([len(nw)], jnp.int32))[0])
+                g_params, jnp.asarray(padded)[None],
+                jnp.asarray([len(nw)], jnp.int32))[0])[: len(nw)]
             src["enhanced"].append(si_snr(ew, cw))
-        if srow is not None:
-            sw, _ = read_wav(srow[0])
+        if streamed is not None:
+            sw, _ = read_wav(streamed[i][0])
             src["streamed"].append(si_snr(sw, cw))
 
     out = {f"si_snr_{k}": float(np.mean(v)) for k, v in src.items() if v}

@@ -368,6 +368,8 @@ def train(cfg: Config, noisy_manifest: str, clean_manifest: str | None = None,
     # here (not by the whole resumed step count).
     last_logged = steps_done
     profiling = False
+    profile_done = False
+    profile_stop_at = 0
     with mesh:
         for epoch in range(start_epoch, cfg.train.epochs):
             if done:
@@ -382,14 +384,17 @@ def train(cfg: Config, noisy_manifest: str, clean_manifest: str | None = None,
                 # profiling"): trace a few steady-state steps into XProf/
                 # Perfetto format.  int(state.step) above already syncs, so
                 # the window brackets whole steps.
-                if cfg.train.profile_dir:
-                    if s == cfg.train.profile_start:
+                if cfg.train.profile_dir and not profile_done:
+                    if not profiling and s >= cfg.train.profile_start:
+                        # Start at the FIRST step past the threshold (works
+                        # under resume too) and trace the next profile_steps.
                         jax.profiler.start_trace(cfg.train.profile_dir)
                         profiling = True
-                    elif profiling and s >= (cfg.train.profile_start
-                                             + cfg.train.profile_steps):
+                        profile_stop_at = s + cfg.train.profile_steps
+                    elif profiling and s >= profile_stop_at:
                         jax.profiler.stop_trace()
                         profiling = False
+                        profile_done = True
                 is_last = (max_steps and s >= max_steps) or (
                     epoch == cfg.train.epochs - 1
                     and i == cfg.train.steps_per_epoch - 1)

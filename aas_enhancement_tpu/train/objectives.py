@@ -24,6 +24,13 @@ from aas_enhancement_tpu.ops.ctc import ctc_loss_mean
 from aas_enhancement_tpu.ops.masking import masked_normalize, time_mask
 
 
+def wav_f32(wav: jnp.ndarray) -> jnp.ndarray:
+    """int16 transport (DataConfig.feed_dtype) -> f32 [-1, 1); f32 passthrough."""
+    if jnp.issubdtype(wav.dtype, jnp.integer):
+        return wav.astype(jnp.float32) * (1.0 / 32768.0)
+    return wav
+
+
 def device_features(cfg: Config, wav: jnp.ndarray, wav_lengths: jnp.ndarray):
     """On-device featurization: padded wav [B, N] -> (mag, log_mag, frame_lengths).
 
@@ -32,8 +39,7 @@ def device_features(cfg: Config, wav: jnp.ndarray, wav_lengths: jnp.ndarray):
     f32 here, on device.
     """
     a = cfg.audio
-    if jnp.issubdtype(wav.dtype, jnp.integer):
-        wav = wav.astype(jnp.float32) * (1.0 / 32768.0)
+    wav = wav_f32(wav)
     re, im = dsp_api.stft(a, wav)
     mag = magnitude(re, im)
     log_mag = jnp.log1p(mag)
@@ -73,14 +79,16 @@ def masked_l1(pred: jnp.ndarray, target: jnp.ndarray, lengths: jnp.ndarray,
     return _wmean(per_ex, weights)
 
 
-def mr_stft_loss(cfg: Config, est_wav: jnp.ndarray, ref_wav: jnp.ndarray,
-                 weights=None,
+def mr_stft_loss(est_wav: jnp.ndarray, ref_wav: jnp.ndarray,
+                 wav_lengths: jnp.ndarray, weights=None,
                  resolutions: tuple = ((256, 64), (512, 128), (1024, 256))
                  ) -> jnp.ndarray:
     """Multi-resolution STFT loss (Parallel WaveGAN, arXiv:1910.11480 —
     PAPERS.md): mean over resolutions of spectral convergence + log-magnitude
-    L1 between waveforms.  Beyond-reference quality term for the paired
-    objective (TrainConfig.lambda_mrstft)."""
+    L1 between waveforms, masked to valid frames (padding-invariant, like
+    every other loss here).  Beyond-reference quality term for the paired
+    objective (TrainConfig.lambda_mrstft).  Both waveforms must be in f32
+    [-1, 1) scale (wav_f32 the int16 transport first)."""
     from aas_enhancement_tpu.dsp.stft import stft as stft_raw
 
     eps = 1e-7
@@ -92,11 +100,14 @@ def mr_stft_loss(cfg: Config, est_wav: jnp.ndarray, ref_wav: jnp.ndarray,
                               "hann", True)
         mag_e = magnitude(re_e, im_e)
         mag_r = magnitude(re_r, im_r)
-        diff = jnp.sqrt(jnp.sum((mag_r - mag_e) ** 2, axis=(1, 2)) + eps)
-        ref_n = jnp.sqrt(jnp.sum(mag_r ** 2, axis=(1, 2)) + eps)
+        fl = (1 + wav_lengths // hop).astype(jnp.int32)
+        fm = time_mask(fl, mag_e.shape[1], jnp.float32)[:, :, None]  # [B,T,1]
+        nvalid = jnp.maximum(jnp.sum(fm, axis=(1, 2)) * mag_e.shape[2], 1.0)
+        diff = jnp.sqrt(jnp.sum(((mag_r - mag_e) * fm) ** 2, axis=(1, 2)) + eps)
+        ref_n = jnp.sqrt(jnp.sum((mag_r * fm) ** 2, axis=(1, 2)) + eps)
         sc = diff / ref_n                                       # [B]
-        logl1 = jnp.mean(jnp.abs(jnp.log(mag_r + eps) - jnp.log(mag_e + eps)),
-                         axis=(1, 2))                           # [B]
+        logl1 = (jnp.sum(jnp.abs(jnp.log(mag_r + eps) - jnp.log(mag_e + eps))
+                         * fm, axis=(1, 2)) / nvalid)           # [B]
         total = total + _wmean(sc + logl1, weights)
     return total / len(resolutions)
 
@@ -105,7 +116,6 @@ def paired_loss(cfg: Config, g_params, batch) -> tuple[jnp.ndarray, dict]:
     """Config 2: L1 between enhanced and clean log-magnitudes (BASELINE.json:8),
     optionally + lambda_mrstft * multi-resolution STFT loss on the
     reconstructed waveform (noisy phase, the actual inference output)."""
-    from aas_enhancement_tpu.dsp import api as dsp_api_mod
     from aas_enhancement_tpu.dsp.stft import phase
 
     enh_mag, enh_log, fl = enhancer_forward(cfg, g_params, batch["wav"],
@@ -114,14 +124,17 @@ def paired_loss(cfg: Config, g_params, batch) -> tuple[jnp.ndarray, dict]:
     rw = _row_weights(batch)
     loss = masked_l1(enh_log, clean_log, fl, rw)
     aux = {"loss_paired": loss}
-    lam_mr = getattr(cfg.train, "lambda_mrstft", 0.0)
-    if lam_mr > 0.0:
-        re, im = dsp_api_mod.stft(cfg.audio, batch["wav"])
+    if cfg.train.lambda_mrstft > 0.0:
+        # Same conversion chain as enhancer_forward's internal STFT so XLA
+        # CSEs the two (one STFT pays for both the features and the phase).
+        noisy_f = wav_f32(batch["wav"])
+        re, im = dsp_api.stft(cfg.audio, noisy_f)
         ph = phase(re, im)
-        enh_wav = dsp_api_mod.reconstruct(cfg.audio, enh_mag, ph,
-                                          length=batch["wav"].shape[1])
-        l_mr = mr_stft_loss(cfg, enh_wav, batch["clean_wav"], weights=rw)
-        loss = loss + lam_mr * l_mr
+        enh_wav = dsp_api.reconstruct(cfg.audio, enh_mag, ph,
+                                      length=noisy_f.shape[1])
+        l_mr = mr_stft_loss(enh_wav, wav_f32(batch["clean_wav"]),
+                            batch["wav_lengths"], weights=rw)
+        loss = loss + cfg.train.lambda_mrstft * l_mr
         aux["loss_mrstft"] = l_mr
         aux["loss_paired_total"] = loss
     return loss, aux

@@ -188,15 +188,34 @@ def test_mrstft_paired_loss_decreases(corpus):
 
 
 def test_mrstft_zero_for_identical_waves():
-    import jax
     import jax.numpy as jnp
 
-    from aas_enhancement_tpu.config import Config
     from aas_enhancement_tpu.train.objectives import mr_stft_loss
 
     rng = np.random.default_rng(0)
     w = jnp.asarray(rng.standard_normal((2, 8000)).astype(np.float32) * 0.1)
-    same = float(mr_stft_loss(Config(), w, w))
-    diff = float(mr_stft_loss(Config(), w, jnp.flip(w, axis=1)))
+    lengths = jnp.asarray([8000, 8000], jnp.int32)
+    same = float(mr_stft_loss(w, w, lengths))
+    diff = float(mr_stft_loss(w, jnp.flip(w, axis=1), lengths))
     assert same < 1e-3
     assert diff > 10 * max(same, 1e-6)
+
+
+def test_mrstft_padding_invariant():
+    """The loss of an utterance must not depend on its padded bucket length."""
+    import jax.numpy as jnp
+
+    from aas_enhancement_tpu.train.objectives import mr_stft_loss
+
+    rng = np.random.default_rng(1)
+    n = 6000
+    est = rng.standard_normal(n).astype(np.float32) * 0.1
+    ref = est + rng.standard_normal(n).astype(np.float32) * 0.02
+    vals = []
+    for bucket in (8000, 16000):
+        e = np.zeros(bucket, np.float32)
+        r = np.zeros(bucket, np.float32)
+        e[:n], r[:n] = est, ref
+        vals.append(float(mr_stft_loss(jnp.asarray(e)[None], jnp.asarray(r)[None],
+                                       jnp.asarray([n], jnp.int32))))
+    assert abs(vals[0] - vals[1]) < 1e-4, vals
