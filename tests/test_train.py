@@ -219,3 +219,19 @@ def test_mrstft_padding_invariant():
         vals.append(float(mr_stft_loss(jnp.asarray(e)[None], jnp.asarray(r)[None],
                                        jnp.asarray([n], jnp.int32))))
     assert abs(vals[0] - vals[1]) < 1e-4, vals
+
+
+def test_int16_feed_trains_like_float32(corpus):
+    """Training through the int16 transport (DataConfig.feed_dtype) matches the
+    float32 feed to quantization precision, end to end through the aas step."""
+    losses = {}
+    for fd in ("float32", "int16"):
+        cfg = _tiny_cfg("aas")
+        cfg = cfg.replace(data=dataclasses.replace(cfg.data, feed_dtype=fd,
+                                                   num_buckets=1))
+        _, recs = train(cfg, corpus["noisy"], corpus["clean"], max_steps=6)
+        losses[fd] = [r["loss_g"] for r in recs if "loss_g" in r]
+    assert len(losses["float32"]) == len(losses["int16"]) >= 6
+    for a, b in zip(losses["float32"], losses["int16"]):
+        assert abs(a - b) / max(abs(a), 1e-6) < 5e-2, (losses["float32"],
+                                                       losses["int16"])
