@@ -43,6 +43,9 @@ def main(argv=None) -> None:
     p.add_argument("--steps", type=int, default=0, help="stop after N steps (0 = epochs)")
     p.add_argument("--epochs", type=int, default=0)
     p.add_argument("--batch-size", type=int, default=0)
+    p.add_argument("--grad-accum", type=int, default=0,
+                   help="split each batch into k microbatches inside the one "
+                        "jitted step (effective batches past the VMEM ceiling)")
     p.add_argument("--lambda-adv", type=float, default=None)
     p.add_argument("--log-every", type=int, default=0)
     p.add_argument("--val-manifest",
@@ -73,6 +76,8 @@ def main(argv=None) -> None:
         tr["epochs"] = args.epochs
     if args.batch_size:
         tr["batch_size"] = args.batch_size
+    if args.grad_accum:
+        tr["grad_accum"] = args.grad_accum
     if args.lambda_adv is not None:
         tr["lambda_adv"] = args.lambda_adv
     if args.log_every:

@@ -4,13 +4,19 @@ Reference parity: the reference's audio decode is native (SoX — SURVEY.md §2
 "NATIVE: SoX / audio codecs"); this is the TPU rebuild's native equivalent
 (native/audio/wav_batch.cc): parallel RIFF decode + zero-padded batch packing,
 bit-identical to the pure-python reader (data/wav.py) and used by the dataset's
-batch assembly when available (data/dataset.py).  Falls back to python
-transparently when no compiler/library exists.
+batch assembly when available (data/dataset.py).
+
+Build the library EXPLICITLY with `make -C native` (or `build()` here); loading
+never shells out (ADVICE r2: an implicit `make` on first batch decode could
+stall the training input path for up to 120 s or pick up a mid-edit source
+tree).  When the library is absent, the dataset falls back to the pure-python
+reader and this module logs that once.
 """
 
 from __future__ import annotations
 
 import ctypes
+import logging
 import os
 import subprocess
 
@@ -20,6 +26,8 @@ _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), "native")
 _LIB_PATH = os.path.join(_NATIVE_DIR, "build", "libwavbatch.so")
 
+_log = logging.getLogger(__name__)
+
 _lib = None
 _lib_tried = False
 
@@ -27,21 +35,37 @@ _ERRORS = {-1: "io error", -2: "not RIFF/WAVE", -3: "missing fmt/data chunk",
            -4: "unsupported format", -5: "sample-rate mismatch"}
 
 
+def build(timeout: float = 120.0) -> bool:
+    """Explicitly (re)build the native library; returns availability.
+
+    The one sanctioned way to compile from python (setup scripts, tests) —
+    the data path itself never builds implicitly."""
+    global _lib, _lib_tried
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True, timeout=timeout)
+    except (subprocess.SubprocessError, OSError) as e:
+        _log.warning("native wav decoder build failed (%s); the python "
+                     "reader will be used", e)
+    _lib, _lib_tried = None, False        # force a fresh CDLL attempt
+    return available()
+
+
 def _load_lib():
     global _lib, _lib_tried
     if _lib is not None or _lib_tried:
         return _lib
     _lib_tried = True
+    if not os.path.exists(_LIB_PATH):
+        _log.info("native wav decoder not built (%s missing) — using the "
+                  "pure-python reader; run `make -C native` to enable it",
+                  _LIB_PATH)
+        return None
     src = os.path.join(_NATIVE_DIR, "audio", "wav_batch.cc")
-    stale = (os.path.exists(_LIB_PATH) and os.path.exists(src)
-             and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH))
-    if not os.path.exists(_LIB_PATH) or stale:
-        try:
-            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                           capture_output=True, timeout=120)
-        except (subprocess.SubprocessError, OSError):
-            if not os.path.exists(_LIB_PATH):
-                return None
+    if os.path.exists(src) and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH):
+        _log.warning("native wav decoder source is newer than %s — using the "
+                     "existing library; run `make -C native` to refresh",
+                     _LIB_PATH)
     try:
         lib = ctypes.CDLL(_LIB_PATH)
         lib.wav_decode.restype = ctypes.c_long

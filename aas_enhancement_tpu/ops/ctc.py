@@ -106,13 +106,18 @@ def ctc_loss(logits: jnp.ndarray, logit_paddings: jnp.ndarray,
 
 
 def ctc_loss_mean(logits, logit_paddings, labels, label_paddings,
-                  blank_id: int = 0, weights=None) -> jnp.ndarray:
+                  blank_id: int = 0, weights=None, denom=None) -> jnp.ndarray:
     """Batch-mean CTC loss (the training objective scalar).
 
     weights: optional [B] per-example weights (0 for repeat-padded batch rows so
-    they carry no gradient)."""
+    they carry no gradient).
+    denom: optional fixed denominator replacing sum(weights) — used by gradient
+    accumulation so unevenly-filled microbatches weight exactly like the
+    unaccumulated batch (train/steps.py)."""
     per_ex = ctc_loss(logits, logit_paddings, labels, label_paddings, blank_id)
-    if weights is None:
+    if weights is None and denom is None:
         return jnp.mean(per_ex)
-    w = weights.astype(per_ex.dtype)
-    return jnp.sum(per_ex * w) / jnp.maximum(jnp.sum(w), 1.0)
+    w = (jnp.ones((per_ex.shape[0],), per_ex.dtype) if weights is None
+         else weights.astype(per_ex.dtype))
+    d = jnp.sum(w) if denom is None else jnp.asarray(denom, per_ex.dtype)
+    return jnp.sum(per_ex * w) / jnp.maximum(d, 1e-6)

@@ -9,6 +9,7 @@ handles async checkpointing.
 
 from __future__ import annotations
 
+import math
 import os
 import time
 from typing import Callable
@@ -345,11 +346,17 @@ def train(cfg: Config, noisy_manifest: str, clean_manifest: str | None = None,
                                records=records, logger=logger,
                                checkpoint_dir=checkpoint_dir)
 
+    # Rows must split evenly over devices AND over grad_accum microbatches
+    # (the step reshapes the PADDED batch into k microbatches), so pad to a
+    # multiple of lcm(n_dev, k) — covers short final bucket batches too.
+    k_accum = max(1, cfg.train.grad_accum)
+    pad_mult = n_dev * k_accum // math.gcd(n_dev, k_accum)
+
     def prepared_batches(epoch: int, offset: int):
         """Assemble, pad, weight, and device_put each batch (producer side)."""
         for i, batch in enumerate(epoch_batches(epoch, start=offset), start=offset):
             bd = _batch_dict(cfg, batch, clean_stream)
-            bd = pad_batch_to_devices(bd, n_dev)
+            bd = pad_batch_to_devices(bd, pad_mult)
             # Zero-weight repeat-padded rows (short final bucket batches and
             # device-divisibility padding) so they carry no gradient.
             pb = bd["wav"].shape[0]

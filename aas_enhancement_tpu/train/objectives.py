@@ -59,12 +59,23 @@ def enhancer_forward(cfg: Config, g_params, wav, wav_lengths):
     return enh_mag, jnp.log1p(enh_mag), fl
 
 
-def _wmean(x: jnp.ndarray, weights) -> jnp.ndarray:
-    """Weighted mean over the batch dim (weights None -> plain mean)."""
-    if weights is None:
+def _wmean(x: jnp.ndarray, weights, denom=None) -> jnp.ndarray:
+    """Weighted mean over the batch dim (weights None -> plain mean).
+
+    denom: optional externally-fixed denominator replacing sum(weights).  Used
+    by gradient accumulation (train/steps.py): each microbatch divides by its
+    SHARE of the global real-row count (W_total / k), so summing the k
+    microbatch values reproduces the full-batch weighted mean exactly even
+    when microbatches carry different numbers of real rows.
+    """
+    if weights is None and denom is None:
         return jnp.mean(x)
-    w = weights.astype(x.dtype)
-    return jnp.sum(x * w) / jnp.maximum(jnp.sum(w), 1.0)
+    if weights is None:
+        w = jnp.ones((x.shape[0],), x.dtype)
+    else:
+        w = weights.astype(x.dtype)
+    d = jnp.sum(w) if denom is None else jnp.asarray(denom, x.dtype)
+    return jnp.sum(x * w) / jnp.maximum(d, 1e-6)
 
 
 def _row_weights(batch, key: str = "row_weights"):
@@ -72,15 +83,15 @@ def _row_weights(batch, key: str = "row_weights"):
 
 
 def masked_l1(pred: jnp.ndarray, target: jnp.ndarray, lengths: jnp.ndarray,
-              weights=None) -> jnp.ndarray:
+              weights=None, denom=None) -> jnp.ndarray:
     mask = time_mask(lengths, pred.shape[1], pred.dtype)[:, :, None]
     per_ex = (jnp.sum(jnp.abs(pred - target) * mask, axis=(1, 2))
               / jnp.maximum(jnp.sum(mask, axis=(1, 2)) * pred.shape[2], 1.0))
-    return _wmean(per_ex, weights)
+    return _wmean(per_ex, weights, denom)
 
 
 def mr_stft_loss(est_wav: jnp.ndarray, ref_wav: jnp.ndarray,
-                 wav_lengths: jnp.ndarray, weights=None,
+                 wav_lengths: jnp.ndarray, weights=None, denom=None,
                  resolutions: tuple = ((256, 64), (512, 128), (1024, 256))
                  ) -> jnp.ndarray:
     """Multi-resolution STFT loss (Parallel WaveGAN, arXiv:1910.11480 —
@@ -108,11 +119,12 @@ def mr_stft_loss(est_wav: jnp.ndarray, ref_wav: jnp.ndarray,
         sc = diff / ref_n                                       # [B]
         logl1 = (jnp.sum(jnp.abs(jnp.log(mag_r + eps) - jnp.log(mag_e + eps))
                          * fm, axis=(1, 2)) / nvalid)           # [B]
-        total = total + _wmean(sc + logl1, weights)
+        total = total + _wmean(sc + logl1, weights, denom)
     return total / len(resolutions)
 
 
-def paired_loss(cfg: Config, g_params, batch) -> tuple[jnp.ndarray, dict]:
+def paired_loss(cfg: Config, g_params, batch,
+                w_denom=None) -> tuple[jnp.ndarray, dict]:
     """Config 2: L1 between enhanced and clean log-magnitudes (BASELINE.json:8),
     optionally + lambda_mrstft * multi-resolution STFT loss on the
     reconstructed waveform (noisy phase, the actual inference output)."""
@@ -122,7 +134,7 @@ def paired_loss(cfg: Config, g_params, batch) -> tuple[jnp.ndarray, dict]:
                                             batch["wav_lengths"])
     _, clean_log, _ = device_features(cfg, batch["clean_wav"], batch["wav_lengths"])
     rw = _row_weights(batch)
-    loss = masked_l1(enh_log, clean_log, fl, rw)
+    loss = masked_l1(enh_log, clean_log, fl, rw, w_denom)
     aux = {"loss_paired": loss}
     if cfg.train.lambda_mrstft > 0.0:
         # Same conversion chain as enhancer_forward's internal STFT so XLA
@@ -133,31 +145,34 @@ def paired_loss(cfg: Config, g_params, batch) -> tuple[jnp.ndarray, dict]:
         enh_wav = dsp_api.reconstruct(cfg.audio, enh_mag, ph,
                                       length=noisy_f.shape[1])
         l_mr = mr_stft_loss(enh_wav, wav_f32(batch["clean_wav"]),
-                            batch["wav_lengths"], weights=rw)
+                            batch["wav_lengths"], weights=rw, denom=w_denom)
         loss = loss + cfg.train.lambda_mrstft * l_mr
         aux["loss_mrstft"] = l_mr
         aux["loss_paired_total"] = loss
     return loss, aux
 
 
-def gan_g_loss(cfg: Config, scores_fake: jnp.ndarray, weights=None) -> jnp.ndarray:
+def gan_g_loss(cfg: Config, scores_fake: jnp.ndarray, weights=None,
+               denom=None) -> jnp.ndarray:
     if cfg.train.gan_loss == "lsgan":
-        return _wmean((scores_fake - 1.0) ** 2, weights)
-    return _wmean(jax.nn.softplus(-scores_fake), weights)   # BCE: -log sigmoid(fake)
+        return _wmean((scores_fake - 1.0) ** 2, weights, denom)
+    # BCE: -log sigmoid(fake)
+    return _wmean(jax.nn.softplus(-scores_fake), weights, denom)
 
 
 def gan_d_loss(cfg: Config, scores_real: jnp.ndarray, scores_fake: jnp.ndarray,
-               w_real=None, w_fake=None) -> jnp.ndarray:
+               w_real=None, w_fake=None, real_denom=None,
+               fake_denom=None) -> jnp.ndarray:
     if cfg.train.gan_loss == "lsgan":
-        return 0.5 * (_wmean((scores_real - 1.0) ** 2, w_real)
-                      + _wmean(scores_fake ** 2, w_fake))
-    return (_wmean(jax.nn.softplus(-scores_real), w_real)
-            + _wmean(jax.nn.softplus(scores_fake), w_fake))
+        return 0.5 * (_wmean((scores_real - 1.0) ** 2, w_real, real_denom)
+                      + _wmean(scores_fake ** 2, w_fake, fake_denom))
+    return (_wmean(jax.nn.softplus(-scores_real), w_real, real_denom)
+            + _wmean(jax.nn.softplus(scores_fake), w_fake, fake_denom))
 
 
 def generator_loss(cfg: Config, g_params, d_params, am_params, batch,
                    use_acoustic: bool, use_adv: bool,
-                   lam: float) -> tuple[jnp.ndarray, dict]:
+                   lam: float, w_denom=None) -> tuple[jnp.ndarray, dict]:
     """Unified G objective: the enhancer forward runs ONCE; the CTC and adversarial
     terms are computed on its output as requested (SURVEY.md §3.2 — the reference
     likewise reuses a single G forward per iteration for both losses and for the
@@ -177,16 +192,17 @@ def generator_loss(cfg: Config, g_params, d_params, am_params, batch,
         logits, out_lengths = AcousticModel(cfg.am).apply(frozen, am_in, fl)
         logit_paddings = 1.0 - time_mask(out_lengths, logits.shape[1])
         l_ctc = ctc_loss_mean(logits, logit_paddings, batch["labels"],
-                              batch["label_paddings"], weights=rw)
+                              batch["label_paddings"], weights=rw,
+                              denom=w_denom)
         loss = loss + l_ctc
         aux["loss_ctc"] = l_ctc
 
     if use_adv:
         scores = Discriminator(cfg.discriminator).apply(d_params, enh_log, fl)
-        l_adv = gan_g_loss(cfg, scores, rw)
+        l_adv = gan_g_loss(cfg, scores, rw, w_denom)
         loss = loss + (lam if use_acoustic else 1.0) * l_adv
         aux["loss_adv_g"] = l_adv
-        aux["d_score_fake_g"] = _wmean(scores, rw)
+        aux["d_score_fake_g"] = _wmean(scores, rw, w_denom)
 
     aux["loss_g"] = loss
     aux["enh_log"] = jax.lax.stop_gradient(enh_log)
@@ -195,23 +211,28 @@ def generator_loss(cfg: Config, g_params, d_params, am_params, batch,
 
 
 def discriminator_loss(cfg: Config, d_params, enh_log, enh_fl,
-                       clean_log, clean_fl, w_fake=None,
-                       w_real=None) -> tuple[jnp.ndarray, dict]:
+                       clean_log, clean_fl, w_fake=None, w_real=None,
+                       fake_denom=None, real_denom=None
+                       ) -> tuple[jnp.ndarray, dict]:
     """D update: real = unpaired clean corpus, fake = stop-grad enhanced."""
     disc = Discriminator(cfg.discriminator)
     s_real = disc.apply(d_params, clean_log, clean_fl)
     s_fake = disc.apply(d_params, jax.lax.stop_gradient(enh_log), enh_fl)
-    loss = gan_d_loss(cfg, s_real, s_fake, w_real=w_real, w_fake=w_fake)
-    return loss, {"loss_d": loss, "d_score_real": _wmean(s_real, w_real),
-                  "d_score_fake": _wmean(s_fake, w_fake)}
+    loss = gan_d_loss(cfg, s_real, s_fake, w_real=w_real, w_fake=w_fake,
+                      real_denom=real_denom, fake_denom=fake_denom)
+    return loss, {"loss_d": loss,
+                  "d_score_real": _wmean(s_real, w_real, real_denom),
+                  "d_score_fake": _wmean(s_fake, w_fake, fake_denom)}
 
 
-def am_pretrain_loss(cfg: Config, am_params, batch) -> tuple[jnp.ndarray, dict]:
+def am_pretrain_loss(cfg: Config, am_params, batch,
+                     w_denom=None) -> tuple[jnp.ndarray, dict]:
     """AM pre-training on (typically clean) speech (SURVEY.md §3.1)."""
     _, log_mag, fl = device_features(cfg, batch["wav"], batch["wav_lengths"])
     am_in = masked_normalize(log_mag, fl)
     logits, out_lengths = AcousticModel(cfg.am).apply(am_params, am_in, fl)
     logit_paddings = 1.0 - time_mask(out_lengths, logits.shape[1])
     loss = ctc_loss_mean(logits, logit_paddings, batch["labels"],
-                         batch["label_paddings"], weights=_row_weights(batch))
+                         batch["label_paddings"], weights=_row_weights(batch),
+                         denom=w_denom)
     return loss, {"loss_ctc_am": loss}

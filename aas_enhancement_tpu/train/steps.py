@@ -14,10 +14,13 @@ Gradient accumulation (TrainConfig.grad_accum = k > 1): the global batch is spli
 into k microbatches scanned inside the SAME jitted step; gradients (and the GAN's
 G and D gradients together) average across microbatches before the single optimizer
 update.  Peak activation memory scales with batch/k, so effective batches beyond
-the Pallas kernels' VMEM ceiling (B=256+ on v5e) stay one XLA program.  Microbatch
-means carry equal weight, which matches the unweighted global mean whenever each
-microbatch has the same number of real (non-padding) rows — true for every batch
-except a bucket's final short one.
+the Pallas kernels' VMEM ceiling (B=256+ on v5e) stay one XLA program.  Each
+microbatch loss divides by its SHARE of the global real-row weight (W_total / k,
+computed on the full batch before splitting, per weight stream — noisy rows and
+the unpaired clean rows separately), so the averaged gradients and metrics equal
+the unaccumulated weighted batch mean EXACTLY even when real rows are spread
+unevenly across microbatches (a bucket's final short batch; all-padding
+microbatches contribute zero weight and zero gradient).
 """
 
 from __future__ import annotations
@@ -68,25 +71,28 @@ def make_train_step(cfg: Config) -> Callable:
     # ---------------------------------------------------------------- grads
     # One microbatch's gradients for every network the objective trains, plus
     # scalar metrics.  The structure (which nets appear) is objective-static.
-    def micro_grads(state: TrainState, mb) -> tuple[dict, dict]:
+    # wd / cwd: fixed weighted-mean denominators (the microbatch's SHARE of the
+    # global real-row count for the noisy / unpaired-clean streams) — None on
+    # the unaccumulated (k == 1) path, where sum(weights) is the denominator.
+    def micro_grads(state: TrainState, mb, wd=None, cwd=None) -> tuple[dict, dict]:
         if objective == "am":
             (_, aux), g = jax.value_and_grad(
-                lambda p: obj.am_pretrain_loss(cfg, p, mb), has_aux=True)(
-                    state.am_params)
+                lambda p: obj.am_pretrain_loss(cfg, p, mb, w_denom=wd),
+                has_aux=True)(state.am_params)
             return {"am": g}, aux
 
         if objective == "paired":
             (_, aux), g = jax.value_and_grad(
-                lambda p: obj.paired_loss(cfg, p, mb), has_aux=True)(
-                    state.g_params)
+                lambda p: obj.paired_loss(cfg, p, mb, w_denom=wd),
+                has_aux=True)(state.g_params)
             return {"g": g}, aux
 
         if objective == "acoustic":
             (_, aux), g = jax.value_and_grad(
                 lambda p: obj.generator_loss(cfg, p, {}, state.am_params, mb,
                                              use_acoustic=True, use_adv=False,
-                                             lam=lam), has_aux=True)(
-                    state.g_params)
+                                             lam=lam, w_denom=wd),
+                has_aux=True)(state.g_params)
             aux.pop("enh_log"), aux.pop("enh_fl")
             return {"g": g}, aux
 
@@ -96,7 +102,7 @@ def make_train_step(cfg: Config) -> Callable:
                 lambda p: obj.generator_loss(
                     cfg, p, state.d_params,
                     state.am_params if use_ac else {}, mb,
-                    use_acoustic=use_ac, use_adv=True, lam=lam),
+                    use_acoustic=use_ac, use_adv=True, lam=lam, w_denom=wd),
                 has_aux=True)(state.g_params)
             # Fake side: the G output already computed for the G update
             # (detached) — matches the reference's enh.detach() and avoids a
@@ -108,23 +114,36 @@ def make_train_step(cfg: Config) -> Callable:
                 lambda p: obj.discriminator_loss(
                     cfg, p, enh_log, enh_fl, clean_log, clean_fl,
                     w_fake=mb.get("row_weights"),
-                    w_real=mb.get("clean_row_weights")), has_aux=True)(
+                    w_real=mb.get("clean_row_weights"),
+                    fake_denom=wd, real_denom=cwd), has_aux=True)(
                     state.d_params)
             return {"g": g, "d": dg}, {**aux, **d_aux}
 
         raise ValueError(f"unknown objective: {objective!r}")
 
+    def _share(batch, w_key: str, rows_key: str):
+        """Global real-row weight of one stream, divided by k (each microbatch
+        divides by this share; the final 1/k average then reproduces the exact
+        full-batch weighted mean)."""
+        w = batch.get(w_key)
+        total = (jnp.sum(w.astype(jnp.float32)) if w is not None
+                 else jnp.float32(batch[rows_key].shape[0]))
+        return total / k
+
     def batch_grads(state: TrainState, batch) -> tuple[dict, dict]:
         if k == 1:
             return micro_grads(state, batch)
+        wd = _share(batch, "row_weights", "wav")
+        cwd = (_share(batch, "clean_row_weights", "clean_wav")
+               if "clean_wav" in batch else None)
         mbs = {kk: v.reshape((k, v.shape[0] // k) + v.shape[1:])
                for kk, v in batch.items()}
         first = jax.tree.map(lambda v: v[0], mbs)
         rest = jax.tree.map(lambda v: v[1:], mbs)
-        init = micro_grads(state, first)
+        init = micro_grads(state, first, wd, cwd)
 
         def body(carry, mb):
-            g, a = micro_grads(state, mb)
+            g, a = micro_grads(state, mb, wd, cwd)
             return (_tree_add(carry[0], g), _tree_add(carry[1], a)), None
 
         (grads, aux), _ = jax.lax.scan(body, init, rest)
@@ -149,4 +168,7 @@ def make_train_step(cfg: Config) -> Callable:
             aux["am_grad_norm"] = _grad_norm(grads["am"])
         return state.replace(step=state.step + 1), aux
 
+    # Exposed for tests: grad-accum equivalence is asserted on gradients (the
+    # post-Adam params amplify near-zero rounding by up to lr per element).
+    step.batch_grads = batch_grads
     return step

@@ -14,7 +14,8 @@ from aas_enhancement_tpu.data.dataset import AudioDataset
 from aas_enhancement_tpu.data.synthetic import generate_corpus
 from aas_enhancement_tpu.data.wav import read_wav, write_wav
 
-pytestmark = pytest.mark.skipif(not native_audio.available(),
+# Loading never builds implicitly (ADVICE r2) — the test suite builds here.
+pytestmark = pytest.mark.skipif(not native_audio.build(),
                                 reason="native lib unavailable (no compiler)")
 
 
