@@ -28,10 +28,15 @@ def main(argv=None) -> None:
     p.add_argument("--batch-size", type=int, default=4)
     p.add_argument("--decoder", choices=["greedy", "beam"], default="greedy")
     p.add_argument("--beam-width", type=int, default=32)
-    p.add_argument("--lm", help="char n-gram LM json (decode/lm.py) for beam fusion")
+    p.add_argument("--lm", help="LM json for beam fusion (char or word n-gram, "
+                                "decode/lm.py — train with cli.train_lm)")
     p.add_argument("--lm-alpha", type=float, default=0.5, help="LM weight")
     p.add_argument("--lm-beta", type=float, default=0.0,
-                   help="per-symbol insertion bonus")
+                   help="insertion bonus (per symbol for char LMs, per "
+                        "completed word for word LMs)")
+    p.add_argument("--tune-lm-manifest",
+                   help="dev manifest: grid-search lm alpha/beta on it first "
+                        "and use the best point (reports the grid)")
     p.add_argument("--clean-manifest",
                    help="paired clean manifest: also report SI-SNR (dB) of "
                         "noisy and enhanced waveforms vs the clean references")
@@ -53,13 +58,9 @@ def main(argv=None) -> None:
 
     lm = None
     if args.lm:
-        from aas_enhancement_tpu.decode.lm import CharNGramLM
-        lm = CharNGramLM.load(args.lm)
+        from aas_enhancement_tpu.decode.lm import load_lm
+        lm = load_lm(args.lm)
 
-    kw = dict(batch_size=args.batch_size, decoder=args.decoder,
-              beam_width=args.beam_width, lm=lm, lm_alpha=args.lm_alpha,
-              lm_beta=args.lm_beta)
-    result = {"noisy": evaluate_wer(cfg, am_params, args.manifest, **kw)}
     g_params = None
     if args.enhancer_checkpoint:
         g_state, g_cfg = load_state(args.enhancer_checkpoint)
@@ -67,6 +68,25 @@ def main(argv=None) -> None:
         if not g_params:
             raise SystemExit(f"{args.enhancer_checkpoint}: checkpoint has no enhancer")
         cfg = cfg.replace(enhancer=g_cfg.enhancer)
+
+    lm_alpha, lm_beta, tune_result = args.lm_alpha, args.lm_beta, None
+    if args.tune_lm_manifest:
+        if lm is None:
+            raise SystemExit("--tune-lm-manifest requires --lm")
+        from aas_enhancement_tpu.decode.tune import grid_search_lm
+        tune_result = grid_search_lm(cfg, am_params, args.tune_lm_manifest, lm,
+                                     g_params=g_params,
+                                     batch_size=args.batch_size,
+                                     beam_width=args.beam_width)
+        lm_alpha, lm_beta = tune_result["alpha"], tune_result["beta"]
+
+    kw = dict(batch_size=args.batch_size, decoder=args.decoder,
+              beam_width=args.beam_width, lm=lm, lm_alpha=lm_alpha,
+              lm_beta=lm_beta)
+    result = {"noisy": evaluate_wer(cfg, am_params, args.manifest, **kw)}
+    if tune_result is not None:
+        result["lm_tuning"] = tune_result
+    if g_params is not None:
         result["enhanced"] = evaluate_wer(cfg, am_params, args.manifest,
                                           g_params=g_params, **kw)
         result["wer_delta"] = result["enhanced"]["wer"] - result["noisy"]["wer"]

@@ -26,7 +26,22 @@ def main(argv=None) -> None:
     p.add_argument("--snr-low", type=float, default=0.0)
     p.add_argument("--snr-high", type=float, default=10.0)
     p.add_argument("--vocab-chars", type=int, default=0,
-                   help="restrict transcripts to first N chars (easier CTC)")
+                   help="legacy mode: restrict uniform-random transcripts to "
+                        "the first N chars (easier CTC); 0 = structured "
+                        "lexicon+bigram language (default)")
+    p.add_argument("--lang-seed", type=int, default=0,
+                   help="language seed (lexicon + bigram model); keep equal "
+                        "across train/dev/test corpora so an LM transfers")
+    p.add_argument("--lexicon-size", type=int, default=100)
+    p.add_argument("--n-words-low", type=int, default=2)
+    p.add_argument("--n-words-high", type=int, default=5)
+    p.add_argument("--rate-jitter", type=float, default=None,
+                   help="speaking-rate sigma (default 0.25 structured, 0 legacy)")
+    p.add_argument("--coarticulation", type=float, default=None,
+                   help="formant-glide fraction (default 0.35 structured, 0 legacy)")
+    p.add_argument("--reverb-prob", type=float, default=0.0,
+                   help="fraction of noisy utterances convolved with a "
+                        "synthetic RIR before noise mixing")
     p.add_argument("--from-dir", help="instead: build manifest from an existing dir "
                                       "of .wav files with sibling .txt transcripts")
     p.add_argument("--chime4-dir", help="instead: build manifests from a CHiME-4 "
@@ -56,7 +71,13 @@ def main(argv=None) -> None:
 
     out = generate_corpus(args.out_dir, n_utts=args.n_utts, seed=args.seed,
                           snr_range=(args.snr_low, args.snr_high),
-                          vocab_chars=args.vocab_chars)
+                          vocab_chars=args.vocab_chars,
+                          n_words=(args.n_words_low, args.n_words_high),
+                          lang_seed=args.lang_seed,
+                          lexicon_size=args.lexicon_size,
+                          rate_jitter=args.rate_jitter,
+                          coarticulation=args.coarticulation,
+                          reverb_prob=args.reverb_prob)
     print(json.dumps({**out, "utterances": args.n_utts}))
 
 

@@ -57,6 +57,10 @@ def main(argv=None) -> None:
                    help="per-epoch LR divisor, e.g. 1.1 (deepspeech recipe)")
     p.add_argument("--sortagrad", action="store_true",
                    help="serve epoch 0 strictly shortest-first")
+    p.add_argument("--streaming-finetune", action="store_true",
+                   help="train G through the block-bidirectional streaming "
+                        "forward (chunk/lookahead/history from the config) so "
+                        "chunked inference matches training")
     p.add_argument("--checkpoint-dir", default="")
     p.add_argument("--continue-from", dest="resume", action="store_true",
                    help="resume from the latest checkpoint in --checkpoint-dir")
@@ -88,6 +92,8 @@ def main(argv=None) -> None:
         tr["lr_anneal"] = args.lr_anneal
     if args.sortagrad:
         tr["sortagrad"] = True
+    if args.streaming_finetune:
+        tr["streaming_finetune"] = True
     if args.profile_dir:
         tr["profile_dir"] = args.profile_dir
     cfg = cfg.replace(train=dataclasses.replace(cfg.train, **tr))

@@ -115,6 +115,13 @@ class TrainConfig:
                                  # profile_start (SURVEY.md §5 tracing)
     profile_start: int = 10      # trace begins past warmup compiles
     profile_steps: int = 3
+    streaming_finetune: bool = False  # train G through the block-bidirectional
+                                 # streaming forward (models/enhancer.py::
+                                 # blockwise_apply) so deployment-time chunked
+                                 # inference matches training (VERDICT r2 #3)
+    stream_chunk_s: float = 1.0       # must match the inference operating
+    stream_lookahead_s: float = 0.2   # point (streaming.StreamingEnhancer)
+    stream_history_s: float = 1.0
 
 
 @dataclass(frozen=True)

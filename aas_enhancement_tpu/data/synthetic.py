@@ -3,13 +3,27 @@
 CHiME-4/WSJ/Librispeech are licensed and absent from this machine (SURVEY.md §6/§7
 "Data absence"), so the framework ships a deterministic synthetic corpus generator:
 
-- Each transcript character maps to a fixed formant-pair tone with vibrato and an
-  amplitude envelope, giving a stable audio<->text correspondence that a small CTC
-  acoustic model can genuinely learn (needed for the acoustic-supervision configs).
-- Noise kinds (white / band-passed / babble-ish AM noise) are mixed at a target SNR to
-  produce the "simulated noisy" side, mirroring CHiME-4 simulated data.
+- Transcripts are drawn from a fixed LANGUAGE — a ~100-word lexicon under a
+  word-bigram distribution (`Language`) — so they carry n-gram structure a
+  language model can exploit (the reference's ctcdecode+KenLM eval mode needs a
+  language where an LM can win, VERDICT r2 #1/#2).  The language is a function
+  of `lang_seed` only: train and held-out corpora generated with different
+  corpus seeds share the same lexicon/bigram model but no sentences.
+- Each transcript character maps to a formant-pair tone with vibrato and an
+  amplitude envelope, giving a stable audio<->text correspondence that a small
+  CTC acoustic model can genuinely learn.  Difficulty knobs: per-character
+  duration jitter (speaking-rate variance), formant interpolation between
+  adjacent characters (coarticulation), optional synthetic-RIR reverberation.
+- Noise kinds (white / band-passed / babble-ish AM / non-stationary bursts) are
+  mixed at a target SNR to produce the "simulated noisy" side, mirroring
+  CHiME-4 simulated data.
 - Corpora are written as wav+txt files plus a CSV manifest `wav_path,txt_path`
-  matching the reference's manifest format (SURVEY.md §2 "Manifest data pipeline").
+  matching the reference's manifest format (SURVEY.md §2 "Manifest data
+  pipeline"), plus `lexicon.txt` when the structured language is used.
+
+Legacy mode: passing `vocab_chars > 0` or an explicit `word_len` keeps the
+round-1/2 uniform-random-character transcripts and jitter-free audio (unit
+tests and the throughput bench pin their workloads to it).
 """
 
 from __future__ import annotations
@@ -25,6 +39,70 @@ from aas_enhancement_tpu.data.wav import write_wav
 _CHARS = [c for c in LABELS[1:] if c != " "]
 
 
+# --------------------------------------------------------------------- language
+
+class Language:
+    """A fixed lexicon + word-bigram distribution (deterministic in lang_seed).
+
+    Sentence sampling walks the bigram chain; the Zipf-ish unigram shapes both
+    the start-word distribution and each word's successor weights, so frequent
+    words stay frequent in context — the structure a word/char n-gram LM learns
+    from TRAIN transcripts transfers to held-out ones.
+    """
+
+    def __init__(self, lang_seed: int = 0, size: int = 100,
+                 charset: list[str] | None = None,
+                 word_len: tuple[int, int] = (2, 7),
+                 branching: int = 8):
+        rng = np.random.default_rng(777_000 + lang_seed)
+        chars = charset if charset is not None else _CHARS
+        words: list[str] = []
+        seen = set()
+        while len(words) < size:
+            k = int(rng.integers(word_len[0], word_len[1] + 1))
+            w = "".join(rng.choice(chars, size=k))
+            if w not in seen:
+                seen.add(w)
+                words.append(w)
+        self.words = words
+        self.size = size
+        # Zipf unigram over a random permutation of ranks.
+        ranks = rng.permutation(size) + 1
+        uni = 1.0 / ranks
+        self.unigram = uni / uni.sum()
+        # Sparse-ish bigram: each word has `branching` preferred successors
+        # with Dirichlet weights, mixed with the unigram for smoothing mass.
+        big = np.zeros((size, size), np.float64)
+        for i in range(size):
+            succ = rng.choice(size, size=min(branching, size), replace=False,
+                              p=self.unigram)
+            big[i, succ] += rng.dirichlet(np.ones(len(succ))) * 0.9
+        big += 0.1 * self.unigram[None, :]
+        self.bigram = big / big.sum(axis=1, keepdims=True)
+
+    def sample_sentence(self, rng: np.random.Generator,
+                        n_words: tuple[int, int] = (2, 5)) -> str:
+        # Exclusive-high draw, matching random_transcript's rng.integers(*n).
+        lo, hi = n_words
+        n = int(rng.integers(lo, hi)) if hi > lo else lo
+        w = int(rng.choice(self.size, p=self.unigram))
+        out = [self.words[w]]
+        for _ in range(n - 1):
+            w = int(rng.choice(self.size, p=self.bigram[w]))
+            out.append(self.words[w])
+        return " ".join(out)
+
+    def save_lexicon(self, path: str) -> None:
+        with open(path, "w") as f:
+            f.write("\n".join(self.words) + "\n")
+
+
+def default_language(lang_seed: int = 0, size: int = 100) -> Language:
+    return Language(lang_seed=lang_seed, size=size)
+
+
+# ------------------------------------------------------------------- synthesis
+
 def _char_formants(c: str) -> tuple[float, float]:
     """Deterministic per-character formant pair in speech-ish ranges."""
     i = _CHARS.index(c) if c in _CHARS else 0
@@ -34,26 +112,87 @@ def _char_formants(c: str) -> tuple[float, float]:
 
 
 def synth_utterance(text: str, sample_rate: int = 16000, char_dur: float = 0.08,
-                    seed: int = 0) -> np.ndarray:
-    """Transcript -> clean speech-like waveform."""
+                    seed: int = 0, rate_jitter: float = 0.0,
+                    coarticulation: float = 0.0) -> np.ndarray:
+    """Transcript -> clean speech-like waveform.
+
+    rate_jitter: sigma of the log-normal per-character duration factor, plus an
+        utterance-level speaking-rate factor with the same sigma (0 = the fixed
+        80 ms/char grid of rounds 1-2).
+    coarticulation: fraction of the mean character duration over which formant
+        tracks are smoothed ACROSS character boundaries (0 = stepwise-constant
+        per-char formants), implemented as a moving-average on the frequency
+        tracks before phase integration — adjacent characters color each other
+        like real articulators do.
+    """
     rng = np.random.default_rng(seed)
     n_char = int(char_dur * sample_rate)
-    pieces = []
+    utt_rate = float(np.exp(rng.normal(0.0, rate_jitter))) if rate_jitter else 1.0
+
+    # Per-character spans (samples) under the utterance + per-char rate factors.
+    spans = []
     for ch in text:
+        f = float(np.exp(rng.normal(0.0, rate_jitter))) if rate_jitter else 1.0
+        spans.append(max(8, int(round(n_char * utt_rate * f))))
+    if not spans:
+        return np.zeros(n_char, np.float32)
+    total = int(np.sum(spans))
+
+    # Piecewise formant tracks + per-char envelope over the full utterance.
+    f1_track = np.empty(total, np.float64)
+    f2_track = np.empty(total, np.float64)
+    env = np.zeros(total, np.float32)
+    pos = 0
+    prev_f = None
+    for ch, n in zip(text, spans):
+        sl = slice(pos, pos + n)
         if ch == " ":
-            pieces.append(np.zeros(n_char, np.float32))
-            continue
-        f1, f2 = _char_formants(ch)
-        t = np.arange(n_char) / sample_rate
-        vib = 1.0 + 0.01 * np.sin(2 * np.pi * 5.0 * t + rng.uniform(0, 2 * np.pi))
-        env = np.hanning(n_char).astype(np.float32) ** 0.5
-        x = (0.6 * np.sin(2 * np.pi * f1 * vib * t)
-             + 0.35 * np.sin(2 * np.pi * f2 * vib * t)
-             + 0.05 * rng.standard_normal(n_char))
-        pieces.append((x * env).astype(np.float32))
-    wav = np.concatenate(pieces) if pieces else np.zeros(n_char, np.float32)
+            # Hold the previous formant through silence (env gates it to 0);
+            # the coarticulation smoothing then glides INTO the next word.
+            f1, f2 = prev_f if prev_f else (300.0, 1200.0)
+            f1_track[sl], f2_track[sl] = f1, f2
+        else:
+            f1, f2 = _char_formants(ch)
+            f1_track[sl], f2_track[sl] = f1, f2
+            env[sl] = np.hanning(n).astype(np.float32) ** 0.5
+            prev_f = (f1, f2)
+        pos += n
+
+    if coarticulation > 0.0:
+        k = max(1, int(coarticulation * n_char * utt_rate))
+        kernel = np.ones(k) / k
+        f1_track = np.convolve(f1_track, kernel, mode="same")
+        f2_track = np.convolve(f2_track, kernel, mode="same")
+
+    # Phase integration handles the time-varying frequencies exactly.
+    t = np.arange(total) / sample_rate
+    vib = 1.0 + 0.01 * np.sin(2 * np.pi * 5.0 * t + rng.uniform(0, 2 * np.pi))
+    ph1 = 2 * np.pi * np.cumsum(f1_track * vib) / sample_rate
+    ph2 = 2 * np.pi * np.cumsum(f2_track * vib) / sample_rate
+    x = (0.6 * np.sin(ph1) + 0.35 * np.sin(ph2)
+         + 0.05 * rng.standard_normal(total))
+    wav = (x * env).astype(np.float32)
     peak = np.max(np.abs(wav)) + 1e-8
     return (0.7 * wav / peak).astype(np.float32)
+
+
+def make_rir(rt60: float, sample_rate: int = 16000, seed: int = 0) -> np.ndarray:
+    """Synthetic room impulse response: unit direct path + exponentially
+    decaying diffuse tail (image-method-shaped, good enough for a difficulty
+    knob; RT60 = time for -60 dB tail decay)."""
+    rng = np.random.default_rng(seed)
+    n = max(16, int(rt60 * 1.2 * sample_rate))
+    t = np.arange(n) / sample_rate
+    tail = rng.standard_normal(n) * np.exp(-6.9078 * t / rt60)
+    ir = 0.35 * tail.astype(np.float32)
+    ir[0] = 1.0
+    return ir / np.sqrt(np.sum(ir ** 2))
+
+
+def apply_rir(wav: np.ndarray, ir: np.ndarray) -> np.ndarray:
+    out = np.convolve(wav, ir)[: len(wav)].astype(np.float32)
+    peak = np.max(np.abs(out)) + 1e-8
+    return (out * min(1.0, 0.97 / peak)).astype(np.float32)
 
 
 def make_noise(n: int, kind: str = "white", seed: int = 0,
@@ -70,6 +209,27 @@ def make_noise(n: int, kind: str = "white", seed: int = 0,
         am = 0.5 + 0.5 * np.abs(np.sin(2 * np.pi * 3.0 * np.arange(n) / sample_rate
                                        + rng.uniform(0, 6.28)))
         x = (x * am).astype(np.float32)
+    elif kind == "nonstat":
+        # Non-stationary: segment-level log-normal gain trajectory (smoothed so
+        # levels drift rather than step) + occasional tone bursts — energy the
+        # enhancer cannot remove with a single utterance-level noise estimate.
+        seg = max(1, int(0.25 * sample_rate))
+        n_seg = -(-n // seg)
+        gains = np.exp(rng.normal(0.0, 1.0, size=n_seg))
+        g = np.repeat(gains, seg)[:n]
+        k = max(1, seg // 2)
+        g = np.convolve(g, np.ones(k) / k, mode="same")
+        x = (x * g).astype(np.float32)
+        for _ in range(max(1, int(rng.poisson(0.6 * n / sample_rate)))):
+            start = int(rng.integers(0, max(1, n - 16)))
+            dur = int(rng.uniform(0.05, 0.2) * sample_rate)
+            dur = min(dur, n - start)
+            if dur < 16:
+                continue
+            f = rng.uniform(300.0, 3000.0)
+            tt = np.arange(dur) / sample_rate
+            burst = np.sin(2 * np.pi * f * tt) * np.hanning(dur)
+            x[start: start + dur] += (2.5 * burst).astype(np.float32)
     return x / (np.std(x) + 1e-8)
 
 
@@ -102,31 +262,67 @@ def generate_corpus(out_dir: str, n_utts: int = 16, seed: int = 0,
                     snr_range: tuple[float, float] = (0.0, 10.0),
                     vocab_chars: int = 0,
                     n_words: tuple[int, int] = (2, 5),
-                    word_len: tuple[int, int] = (2, 6)) -> dict[str, str]:
+                    word_len: tuple[int, int] | None = None,
+                    lang_seed: int = 0, lexicon_size: int = 100,
+                    rate_jitter: float | None = None,
+                    coarticulation: float | None = None,
+                    reverb_prob: float = 0.0,
+                    rt60_range: tuple[float, float] = (0.15, 0.35),
+                    noise_kinds: tuple[str, ...] = ("white", "band", "babble",
+                                                    "nonstat")) -> dict[str, str]:
     """Write a paired clean/noisy synthetic corpus + manifests.
 
     Returns {"clean": clean_manifest_path, "noisy": noisy_manifest_path}.
-    vocab_chars > 0 restricts transcripts to the first N characters (easier CTC
-    tasks); n_words/word_len control transcript (hence utterance) length.
+
+    Structured mode (default): transcripts sample the fixed Language
+    (lang_seed/lexicon_size — shared across corpora so an LM trained on one
+    corpus transfers to another), audio gets speaking-rate jitter (0.25) and
+    coarticulation (0.35) unless overridden, and `reverb_prob` of the noisy
+    sides pass through a synthetic RIR before noise mixing.
+
+    Legacy mode (vocab_chars > 0 or explicit word_len): uniform-random
+    character transcripts and jitter-free audio — the rounds-1/2 workload,
+    kept for unit tests and the throughput bench.
     """
     rng = np.random.default_rng(seed)
-    chars = _CHARS[:vocab_chars] if vocab_chars else _CHARS
+    legacy = vocab_chars > 0 or word_len is not None
+    rj = rate_jitter if rate_jitter is not None else (0.0 if legacy else 0.25)
+    ca = (coarticulation if coarticulation is not None
+          else (0.0 if legacy else 0.35))
+    lang: Language | None = None
+    if legacy:
+        chars = _CHARS[:vocab_chars] if vocab_chars else _CHARS
+        wl = word_len if word_len is not None else (2, 6)
+        if noise_kinds == ("white", "band", "babble", "nonstat"):
+            noise_kinds = ("white", "band", "babble")   # rounds-1/2 mix
+    else:
+        lang = default_language(lang_seed, lexicon_size)
     for sub in ("clean", "noisy", "txt"):
         os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
 
     clean_lines, noisy_lines = [], []
     for i in range(n_utts):
-        words = []
-        for _ in range(int(rng.integers(*n_words))):
-            k = int(rng.integers(*word_len))
-            words.append("".join(rng.choice(chars, size=k)))
-        text = " ".join(words)
+        if legacy:
+            words = []
+            for _ in range(int(rng.integers(*n_words))):
+                k = int(rng.integers(*wl))
+                words.append("".join(rng.choice(chars, size=k)))
+            text = " ".join(words)
+        else:
+            text = lang.sample_sentence(rng, n_words)
 
-        clean = synth_utterance(text, sample_rate, seed=seed + i)
-        kind = ["white", "band", "babble"][i % 3]
-        noise = make_noise(len(clean), kind, seed=seed + 1000 + i, sample_rate=sample_rate)
+        clean = synth_utterance(text, sample_rate, seed=seed + i,
+                                rate_jitter=rj, coarticulation=ca)
+        src = clean
+        if reverb_prob > 0.0 and rng.uniform() < reverb_prob:
+            rt60 = float(rng.uniform(*rt60_range))
+            src = apply_rir(clean, make_rir(rt60, sample_rate,
+                                            seed=seed + 5000 + i))
+        kind = noise_kinds[i % len(noise_kinds)]
+        noise = make_noise(len(src), kind, seed=seed + 1000 + i,
+                           sample_rate=sample_rate)
         snr = float(rng.uniform(*snr_range))
-        noisy = mix_at_snr(clean, noise, snr)
+        noisy = mix_at_snr(src, noise, snr)
 
         cpath = os.path.join(out_dir, "clean", f"utt{i:04d}.wav")
         npath = os.path.join(out_dir, "noisy", f"utt{i:04d}.wav")
@@ -144,4 +340,6 @@ def generate_corpus(out_dir: str, n_utts: int = 16, seed: int = 0,
         f.write("\n".join(clean_lines) + "\n")
     with open(noisy_manifest, "w") as f:
         f.write("\n".join(noisy_lines) + "\n")
+    if lang is not None:
+        lang.save_lexicon(os.path.join(out_dir, "lexicon.txt"))
     return {"clean": clean_manifest, "noisy": noisy_manifest}

@@ -61,6 +61,19 @@ def _load_lib():
             ctypes.POINTER(ctypes.c_int), ctypes.c_int,
             ctypes.POINTER(ctypes.c_float),
         ]
+        lib.ctc_beam_search_wlm.restype = ctypes.c_int
+        lib.ctc_beam_search_wlm.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,                                   # space_id
+            ctypes.POINTER(ctypes.c_int),                   # word_ids blob
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int,     # offsets, n_words
+            ctypes.POINTER(ctypes.c_float),                 # [(W+2), W] table
+            ctypes.c_float,                                 # oov_logp
+            ctypes.c_float, ctypes.c_float,                 # alpha, beta
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float),
+        ]
         _lib = lib
     except (OSError, AttributeError):
         _lib = None
@@ -70,7 +83,8 @@ def _load_lib():
 def beam_search_native(log_probs: np.ndarray, beam_width: int = 32,
                        blank: int = BLANK_ID, prune_k: int = 16,
                        lm_table: np.ndarray | None = None, lm_order: int = 0,
-                       lm_alpha: float = 0.0, lm_beta: float = 0.0):
+                       lm_alpha: float = 0.0, lm_beta: float = 0.0,
+                       word_ex: dict | None = None):
     """[T, V] log-probs -> (ids list, score) via the C++ decoder, or None."""
     lib = _load_lib()
     if lib is None:
@@ -80,7 +94,21 @@ def beam_search_native(log_probs: np.ndarray, beam_width: int = 32,
     max_out = t + 1
     out = np.zeros(max_out, np.int32)
     score = ctypes.c_float(0.0)
-    if lm_table is not None:
+    if word_ex is not None:
+        wids = np.ascontiguousarray(word_ex["word_ids"], np.int32)
+        offs = np.ascontiguousarray(word_ex["word_offsets"], np.int32)
+        table = np.ascontiguousarray(word_ex["table"], np.float32)
+        n = lib.ctc_beam_search_wlm(
+            lp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), t, v,
+            beam_width, blank, prune_k, word_ex["space_id"],
+            wids.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            word_ex["n_words"],
+            table.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            word_ex["oov_logp"], lm_alpha, lm_beta,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), max_out,
+            ctypes.byref(score))
+    elif lm_table is not None:
         table = np.ascontiguousarray(lm_table, dtype=np.float32)
         if table.size != v ** lm_order:
             raise ValueError(f"LM table has {table.size} entries, expected "
@@ -103,18 +131,68 @@ def beam_search_native(log_probs: np.ndarray, beam_width: int = 32,
     return list(out[:n]), float(score.value)
 
 
+def _trailing_word_and_prev(prefix, space: int):
+    """Trailing (possibly empty) word of a prefix + its nearest non-empty
+    predecessor segment, as id tuples (None = sentence-initial).  Shared
+    word-boundary contract with the native decoder."""
+    i = len(prefix) - 1
+    while i >= 0 and prefix[i] != space:
+        i -= 1
+    word = tuple(prefix[i + 1:])
+    end, prev = i, None
+    while end >= 0:
+        j = end - 1
+        while j >= 0 and prefix[j] != space:
+            j -= 1
+        seg = tuple(prefix[j + 1: end])
+        if seg:
+            prev = seg
+            break
+        end = j
+    return word, prev
+
+
+def word_bonus(prefix, alpha: float, beta: float, ex: dict) -> float:
+    """Fusion score for COMPLETING the trailing word of `prefix`
+    (alpha * logp(word|prev) + beta); 0 when the trailing segment is empty.
+    Scores THROUGH the exported dense table so python == native exactly."""
+    word, prev = _trailing_word_and_prev(prefix, ex["space_id"])
+    if not word:
+        return 0.0
+    wi = ex["id_words"].get(word)
+    if wi is None:
+        return alpha * ex["oov_logp"] + beta
+    if prev is None:
+        row = ex["n_words"]                                   # BOS
+    else:
+        pi = ex["id_words"].get(prev)
+        row = pi if pi is not None else ex["n_words"] + 1     # OOV prev
+    return alpha * float(ex["table"][row, wi]) + beta
+
+
 def beam_search_python(log_probs: np.ndarray, beam_width: int = 32,
                        blank: int = BLANK_ID, prune_k: int = 16,
                        lm_table: np.ndarray | None = None, lm_order: int = 0,
-                       lm_alpha: float = 0.0, lm_beta: float = 0.0):
+                       lm_alpha: float = 0.0, lm_beta: float = 0.0,
+                       word_ex: dict | None = None):
     """Pure-python prefix beam search (reference implementation / fallback).
 
-    LM shallow fusion matches the native decoder exactly: the dense-table score
-    alpha*lm[ctx, c] + beta applies once per symbol appended to a prefix."""
+    LM shallow fusion matches the native decoder exactly.  Char LM
+    (lm_table): alpha*lm[ctx, c] + beta applies once per symbol appended.
+    Word LM (word_ex, from WordNGramLM.export_native): alpha*logp(word|prev)
+    + beta applies once per COMPLETED word — when a space is appended, and to
+    the trailing word when ranking final beams (the KenLM-fusion contract)."""
     t, v = log_probs.shape
     beams: dict[tuple, list] = {(): [0.0, -math.inf]}  # prefix -> [p_b, p_nb]
 
-    if lm_table is not None:
+    if word_ex is not None:
+        space = word_ex["space_id"]
+
+        def bonus(prefix, c):
+            if c != space:
+                return 0.0
+            return word_bonus(prefix, lm_alpha, lm_beta, word_ex)
+    elif lm_table is not None:
         from aas_enhancement_tpu.decode.lm import context_index
         lm_table = np.asarray(lm_table, np.float32).reshape(-1, v)
 
@@ -158,6 +236,14 @@ def beam_search_python(log_probs: np.ndarray, beam_width: int = 32,
         ranked = sorted(next_beams.items(), key=lambda kv: -lse(kv[1][0], kv[1][1]))
         beams = dict(ranked[:beam_width])
 
+    if word_ex is not None:
+        # Final ranking includes the trailing (utterance-final) word's LM
+        # score — otherwise the last word of every sentence escapes the LM.
+        def final_score(kv):
+            return (lse(kv[1][0], kv[1][1])
+                    + word_bonus(kv[0], lm_alpha, lm_beta, word_ex))
+        best, _ = max(beams.items(), key=final_score)
+        return list(best), final_score((best, beams[best]))
     best, (p_b, p_nb) = max(beams.items(), key=lambda kv: lse(kv[1][0], kv[1][1]))
     return list(best), lse(p_b, p_nb)
 
@@ -169,22 +255,24 @@ def beam_decode(log_probs: np.ndarray, lengths: np.ndarray | None = None,
     """Batch [B, T, V] log-probs (+ valid lengths) -> decoded strings.
 
     Uses the native C++ decoder when available, python fallback otherwise.
-    `lm` is a decode.lm.CharNGramLM (or a prebuilt dense table) fused into the
-    search with weight lm_alpha and per-symbol bonus lm_beta (the reference
-    ctcdecode alpha/beta contract).
+    `lm` is a decode.lm.CharNGramLM (or a prebuilt dense table) fused
+    per-symbol, or a decode.lm.WordNGramLM fused per completed word (the
+    reference ctcdecode+KenLM contract); weight lm_alpha, bonus lm_beta.
     """
     if log_probs.ndim == 2:
         log_probs = log_probs[None]
-    lm_table, lm_order = None, 0
+    lm_table, lm_order, word_ex = None, 0, None
     if lm is not None and lm_alpha != 0.0:
-        if hasattr(lm, "dense_table"):
+        if getattr(lm, "is_word_lm", False):
+            word_ex = lm.export_native()
+        elif hasattr(lm, "dense_table"):
             lm_table, lm_order = lm.dense_table(), lm.order
         else:
             lm_table = np.asarray(lm, np.float32)
             v = log_probs.shape[-1]
             lm_order = int(round(math.log(lm_table.size) / math.log(v)))
     lm_kw = dict(lm_table=lm_table, lm_order=lm_order,
-                 lm_alpha=lm_alpha, lm_beta=lm_beta)
+                 lm_alpha=lm_alpha, lm_beta=lm_beta, word_ex=word_ex)
     out = []
     for b in range(log_probs.shape[0]):
         t = int(lengths[b]) if lengths is not None else log_probs.shape[1]

@@ -50,11 +50,26 @@ def device_features(cfg: Config, wav: jnp.ndarray, wav_lengths: jnp.ndarray):
     return mag, log_mag, frame_lengths.astype(jnp.int32)
 
 
-def enhancer_forward(cfg: Config, g_params, wav, wav_lengths):
-    """noisy wav -> (enhanced_mag, enhanced_log_mag, frame_lengths)."""
+def enhancer_forward(cfg: Config, g_params, wav, wav_lengths,
+                     streaming: bool = False):
+    """noisy wav -> (enhanced_mag, enhanced_log_mag, frame_lengths).
+
+    streaming=True runs the block-bidirectional streaming forward
+    (models/enhancer.blockwise_apply) instead of the full-utterance BLSTM —
+    set from TrainConfig.streaming_finetune by the training objectives so
+    deployed chunked inference matches what G was trained for."""
     mag, log_mag, fl = device_features(cfg, wav, wav_lengths)
     net_in = masked_normalize(log_mag, fl) if cfg.audio.normalize else log_mag
-    out = Enhancer(cfg.enhancer).apply(g_params, net_in, fl)
+    if streaming:
+        from aas_enhancement_tpu.models.enhancer import blockwise_apply
+        fps = cfg.audio.sample_rate / cfg.audio.hop_length  # frames per second
+        out = blockwise_apply(
+            cfg.enhancer, g_params, net_in, fl,
+            chunk_f=max(1, int(cfg.train.stream_chunk_s * fps)),
+            look_f=int(cfg.train.stream_lookahead_s * fps),
+            hist_f=int(cfg.train.stream_history_s * fps))
+    else:
+        out = Enhancer(cfg.enhancer).apply(g_params, net_in, fl)
     enh_mag = apply_enhancement(cfg.enhancer, out, mag)
     return enh_mag, jnp.log1p(enh_mag), fl
 
@@ -131,7 +146,8 @@ def paired_loss(cfg: Config, g_params, batch,
     from aas_enhancement_tpu.dsp.stft import phase
 
     enh_mag, enh_log, fl = enhancer_forward(cfg, g_params, batch["wav"],
-                                            batch["wav_lengths"])
+                                            batch["wav_lengths"],
+                                            streaming=cfg.train.streaming_finetune)
     _, clean_log, _ = device_features(cfg, batch["clean_wav"], batch["wav_lengths"])
     rw = _row_weights(batch)
     loss = masked_l1(enh_log, clean_log, fl, rw, w_denom)
@@ -181,7 +197,9 @@ def generator_loss(cfg: Config, g_params, d_params, am_params, batch,
     Returns aux containing `enh_log`/`enh_fl` (stop-gradient) so the D update can
     reuse the same enhanced batch without a second G forward.
     """
-    _, enh_log, fl = enhancer_forward(cfg, g_params, batch["wav"], batch["wav_lengths"])
+    _, enh_log, fl = enhancer_forward(cfg, g_params, batch["wav"],
+                                      batch["wav_lengths"],
+                                      streaming=cfg.train.streaming_finetune)
     loss = jnp.zeros((), jnp.float32)
     aux: dict = {}
     rw = _row_weights(batch)

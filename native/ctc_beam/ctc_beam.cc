@@ -81,12 +81,73 @@ inline int64_t ContextIndex(const std::string& prefix, int order, int v) {
   return idx;
 }
 
+// Word-level LM (the KenLM-fusion equivalent, decode/lm.py::WordNGramLM):
+// scored once per COMPLETED word — when a space symbol is appended, and for
+// the trailing word at final ranking.  `table` is [(n+2), n]: rows 0..n-1 are
+// per-previous-word bigram log-probs, row n the BOS (sentence-initial)
+// distribution, row n+1 the OOV-previous-word backoff; OOV words themselves
+// score the flat oov_logp in every context.
+struct WordLm {
+  int space;
+  const int32_t* ids;       // concatenated word label-ids
+  const int32_t* offsets;   // [n+1]
+  int n;
+  const float* table;       // [(n+2) * n]
+  float oov_logp;
+};
+
+// Linear scan with a length filter: eval-only path, lexicons are small
+// (~100 words); swap for a (len, lex) binary search if that ever changes.
+inline int FindWord(const WordLm& lm, const int32_t* s, int len) {
+  for (int i = 0; i < lm.n; ++i) {
+    const int wl = lm.offsets[i + 1] - lm.offsets[i];
+    if (wl != len) continue;
+    if (std::memcmp(lm.ids + lm.offsets[i], s,
+                    static_cast<size_t>(len) * sizeof(int32_t)) == 0)
+      return i;
+  }
+  return -1;
+}
+
+// Fusion score for completing the trailing word of `prefix`; 0 when the
+// trailing segment is empty.  Mirrors decode/beam.py::word_bonus exactly.
+float WordBonus(const WordLm& lm, const std::string& prefix, float alpha,
+                float beta) {
+  const int n = static_cast<int>(prefix.size() / sizeof(int32_t));
+  const int32_t* ids = reinterpret_cast<const int32_t*>(prefix.data());
+  int i = n - 1;
+  while (i >= 0 && ids[i] != lm.space) --i;
+  const int wlen = n - 1 - i;
+  if (wlen == 0) return 0.0f;
+  const int wi = FindWord(lm, ids + i + 1, wlen);
+  if (wi < 0) return alpha * lm.oov_logp + beta;
+  // Previous NON-EMPTY segment (runs of spaces collapse), matching python.
+  int end = i, prev = -2;  // -2 = sentence-initial
+  while (end >= 0) {
+    int j = end - 1;
+    while (j >= 0 && ids[j] != lm.space) --j;
+    const int seglen = end - 1 - j;
+    if (seglen > 0) {
+      prev = FindWord(lm, ids + j + 1, seglen);
+      break;
+    }
+    end = j;
+  }
+  int row;
+  if (prev == -2) row = lm.n;            // BOS
+  else if (prev < 0) row = lm.n + 1;     // OOV previous word
+  else row = prev;
+  return alpha * lm.table[static_cast<int64_t>(row) * lm.n + wi] + beta;
+}
+
 int BeamSearchImpl(const float* log_probs, int t, int v, int beam_width,
                    int blank, int prune_k, const float* lm_table, int lm_order,
                    float alpha, float beta, int* out_ids, int max_out,
-                   float* out_score) {
+                   float* out_score, const WordLm* wlm = nullptr) {
   if (t < 0 || v <= 0 || beam_width <= 0 || blank < 0 || blank >= v) return -1;
   if (lm_table != nullptr && lm_order < 1) return -1;
+  if (wlm != nullptr && (wlm->n <= 0 || wlm->space < 0 || wlm->space >= v))
+    return -1;
 
   std::unordered_map<std::string, Hyp> beams;
   beams[std::string()] = Hyp{0.0f, kNegInf};
@@ -125,9 +186,16 @@ int BeamSearchImpl(const float* log_probs, int t, int v, int beam_width,
         if (c == blank) continue;
         if (c == last) last_seen = true;
         const float p = lp[c];
-        // Shallow fusion: LM score applies once per symbol APPENDED to the
-        // prefix (extension paths), never to same-prefix repeat mass.
-        const float lm_bonus = lm_table ? alpha * lm_table[ctx + c] + beta : 0.0f;
+        // Shallow fusion: char LM applies once per symbol APPENDED to the
+        // prefix (extension paths), never to same-prefix repeat mass; word LM
+        // applies only when the appended symbol is the space delimiter
+        // (completing the prefix's trailing word).
+        float lm_bonus = 0.0f;
+        if (wlm != nullptr) {
+          if (c == wlm->space) lm_bonus = WordBonus(*wlm, prefix, alpha, beta);
+        } else if (lm_table) {
+          lm_bonus = alpha * lm_table[ctx + c] + beta;
+        }
         if (c == last) {
           // Repeat symbol: staying in the same prefix needs a non-blank tail;
           // extending needs a blank separator.
@@ -167,11 +235,13 @@ int BeamSearchImpl(const float* log_probs, int t, int v, int beam_width,
     }
   }
 
-  // Best hypothesis.
+  // Best hypothesis; with a word LM the trailing (utterance-final) word's
+  // score joins the ranking, mirroring the python fallback.
   const std::string* best = nullptr;
   float best_score = kNegInf;
   for (const auto& [prefix, hyp] : beams) {
-    const float s = hyp.Total();
+    float s = hyp.Total();
+    if (wlm != nullptr) s += WordBonus(*wlm, prefix, alpha, beta);
     if (s > best_score) {
       best_score = s;
       best = &prefix;
@@ -204,4 +274,17 @@ extern "C" int ctc_beam_search_lm(const float* log_probs, int t, int v,
                                   int max_out, float* out_score) {
   return BeamSearchImpl(log_probs, t, v, beam_width, blank, prune_k, lm_table,
                         lm_order, alpha, beta, out_ids, max_out, out_score);
+}
+
+extern "C" int ctc_beam_search_wlm(const float* log_probs, int t, int v,
+                                   int beam_width, int blank, int prune_k,
+                                   int space_id, const int32_t* word_ids,
+                                   const int32_t* word_offsets, int n_words,
+                                   const float* table, float oov_logp,
+                                   float alpha, float beta, int* out_ids,
+                                   int max_out, float* out_score) {
+  WordLm wlm{space_id, word_ids, word_offsets, n_words, table, oov_logp};
+  return BeamSearchImpl(log_probs, t, v, beam_width, blank, prune_k,
+                        /*lm_table=*/nullptr, /*lm_order=*/0, alpha, beta,
+                        out_ids, max_out, out_score, &wlm);
 }

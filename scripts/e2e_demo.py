@@ -32,11 +32,15 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--workdir", default="/tmp/aas_e2e")
     p.add_argument("--n-utts", type=int, default=96)
+    p.add_argument("--n-dev-utts", type=int, default=32)
     p.add_argument("--n-test-utts", type=int, default=48)
-    p.add_argument("--am-steps", type=int, default=400)
+    p.add_argument("--am-steps", type=int, default=500)
     p.add_argument("--aas-steps", type=int, default=300)
     p.add_argument("--batch-size", type=int, default=16)
-    p.add_argument("--vocab-chars", type=int, default=8)
+    p.add_argument("--vocab-chars", type=int, default=0,
+                   help="legacy uniform-char corpus (rounds 1-2); default 0 = "
+                        "structured lexicon+bigram language")
+    p.add_argument("--reverb-prob", type=float, default=0.3)
     p.add_argument("--lambda-adv", type=float, default=0.2)
     p.add_argument("--snr-low", type=float, default=0.0)
     p.add_argument("--snr-high", type=float, default=10.0)
@@ -58,16 +62,20 @@ def main():
 
     wd = args.workdir
     os.makedirs(wd, exist_ok=True)
-    # Train and test corpora use DIFFERENT seeds: transcripts are RNG-drawn, so
-    # the held-out split shares no sentences, noise realizations, or SNR draws
-    # with training (VERDICT r1 weak #3: the quality story needs unseen data).
+    # Train / dev / test corpora use DIFFERENT seeds: sentences are RNG-drawn
+    # from the SAME fixed language (lang_seed 0), so the held-out splits share
+    # the lexicon+bigram distribution — what an LM can learn — but (almost) no
+    # sentences, noise realizations, or SNR draws with training (VERDICT r1
+    # weak #3; VERDICT r2 #1/#2).  Dev exists to tune LM fusion alpha/beta.
+    corpus_kw = dict(snr_range=(args.snr_low, args.snr_high),
+                     vocab_chars=args.vocab_chars, n_words=(3, 8),
+                     reverb_prob=args.reverb_prob)
     manifests = generate_corpus(os.path.join(wd, "corpus"), n_utts=args.n_utts,
-                                seed=7, snr_range=(args.snr_low, args.snr_high),
-                                vocab_chars=args.vocab_chars)
+                                seed=7, **corpus_kw)
+    dev = generate_corpus(os.path.join(wd, "corpus_dev"),
+                          n_utts=args.n_dev_utts, seed=104729, **corpus_kw)
     test = generate_corpus(os.path.join(wd, "corpus_test"),
-                           n_utts=args.n_test_utts, seed=7919,
-                           snr_range=(args.snr_low, args.snr_high),
-                           vocab_chars=args.vocab_chars)
+                           n_utts=args.n_test_utts, seed=7919, **corpus_kw)
 
     def cfg_for(objective):
         return Config(
@@ -110,6 +118,20 @@ def main():
     result["aas_ctc_first"] = recs[0]["loss_ctc"]
     result["aas_ctc_last"] = recs[-1]["loss_ctc"]
 
+    # Persist the trained pipeline for downstream tooling (the streaming
+    # chunk/lookahead/history sweep reuses it: scripts/streaming_sweep.py).
+    import pickle
+    params_pkl = os.path.join(wd, "trained_params.pkl")
+    with open(params_pkl, "wb") as f:
+        pickle.dump({"cfg_json": cfg_aas.to_json(),
+                     "am_params": jax.device_get(am_params),
+                     "g_params": jax.device_get(aas_state.g_params)}, f)
+    with open(os.path.join(wd, "sweep_state.json"), "w") as f:
+        json.dump({"params_pkl": params_pkl, "test_noisy": test["noisy"],
+                   "test_clean": test["clean"], "dev_noisy": dev["noisy"],
+                   "train_noisy": manifests["noisy"],
+                   "train_clean": manifests["clean"]}, f)
+
     # --- 4. WER on enhanced HELD-OUT input -> the north-star delta
     enh_wer = evaluate_wer(cfg_aas, am_params, test["noisy"],
                            g_params=aas_state.g_params,
@@ -118,15 +140,28 @@ def main():
     result["wer_delta_test"] = enh_wer["wer"] - noisy_wer["wer"]
     result["sample"]["hyp_enhanced"] = enh_wer["sample_hyp"]
 
-    # --- 4b. Beam + char-LM decode on the held-out split (the reference's
-    # ctcdecode beam+KenLM eval mode; LM trained on TRAIN transcripts only).
-    from aas_enhancement_tpu.decode.lm import CharNGramLM
-    lm = CharNGramLM.from_manifests([manifests["noisy"]], order=3)
-    beam_kw = dict(batch_size=args.batch_size, decoder="beam", beam_width=16,
-                   lm=lm, lm_alpha=0.4, lm_beta=0.0)
-    result["wer_enhanced_test_beam_lm"] = evaluate_wer(
-        cfg_aas, am_params, test["noisy"], g_params=aas_state.g_params,
-        **beam_kw)["wer"]
+    # --- 4b. Beam + LM decode on the held-out split (the reference's
+    # ctcdecode beam+KenLM eval mode).  LMs train on TRAIN transcripts only;
+    # fusion weights alpha/beta grid-search on the DEV split (enhanced
+    # condition — the one being decoded), then apply to TEST (VERDICT r2 #2).
+    from aas_enhancement_tpu.decode.lm import CharNGramLM, WordNGramLM
+    from aas_enhancement_tpu.decode.tune import grid_search_lm
+    wlm = WordNGramLM.from_manifests([manifests["noisy"]])
+    clm = CharNGramLM.from_manifests([manifests["noisy"]], order=3)
+    for tag, lm in (("wlm", wlm), ("clm", clm)):
+        tuned = grid_search_lm(cfg_aas, am_params, dev["noisy"], lm,
+                               g_params=aas_state.g_params,
+                               batch_size=args.batch_size, beam_width=16)
+        result[f"lm_{tag}_alpha"] = tuned["alpha"]
+        result[f"lm_{tag}_beta"] = tuned["beta"]
+        result[f"wer_dev_beam_{tag}"] = tuned["wer"]
+        result[f"wer_dev_beam_no_lm"] = tuned["wer_no_lm"]
+        result[f"wer_enhanced_test_beam_{tag}"] = evaluate_wer(
+            cfg_aas, am_params, test["noisy"], g_params=aas_state.g_params,
+            batch_size=args.batch_size, decoder="beam", beam_width=16,
+            lm=lm, lm_alpha=tuned["alpha"], lm_beta=tuned["beta"])["wer"]
+    # Back-compat alias: the word LM is the headline ctcdecode-parity number.
+    result["wer_enhanced_test_beam_lm"] = result["wer_enhanced_test_beam_wlm"]
 
     # Train-split numbers too (memorization-vs-generalization diagnostic).
     noisy_train = evaluate_wer(cfg_am, am_params, manifests["noisy"],

@@ -107,6 +107,120 @@ def test_beam_decode_beta_bonus_lengthens(lm):
     assert len(long) >= len(short)
 
 
+# ---------------------------------------------------------------- word LM
+# (the faithful ctcdecode+KenLM stand-in: fusion per COMPLETED word)
+
+@pytest.fixture(scope="module")
+def wlm():
+    from aas_enhancement_tpu.decode.lm import WordNGramLM
+    texts = ["THE CAT SAT", "THE CAT RAN", "THE DOG SAT", "A DOG RAN",
+             "THE CAT SAT", "THE CAT SAT"]
+    return WordNGramLM().fit_texts(texts)
+
+
+def test_word_lm_scoring(wlm):
+    # Seen bigram beats backoff; BOS distribution favors THE.
+    assert wlm.logp("SAT", "CAT") > wlm.logp("RAN", "DOG")
+    assert wlm.logp("THE") > wlm.logp("A")
+    # OOV words get the flat floor in every context.
+    assert wlm.logp("XYZ", "THE") == pytest.approx(wlm.oov_logp)
+    assert wlm.logp("XYZ") == pytest.approx(wlm.oov_logp)
+    # Seen-context rows are proper distributions over their support.
+    total = sum(math.exp(wlm.logp(w, "CAT")) for w in ("SAT", "RAN"))
+    assert total == pytest.approx(1.0)
+
+
+def test_word_lm_save_load_roundtrip(wlm, tmp_path):
+    from aas_enhancement_tpu.decode.lm import WordNGramLM, load_lm
+    path = str(tmp_path / "wlm.json")
+    wlm.save(path)
+    lm2 = load_lm(path)
+    assert isinstance(lm2, WordNGramLM)
+    for w, p in [("SAT", "CAT"), ("THE", None), ("XYZ", "THE")]:
+        assert lm2.logp(w, p) == pytest.approx(wlm.logp(w, p))
+    np.testing.assert_allclose(lm2.export_native()["table"],
+                               wlm.export_native()["table"], rtol=1e-6)
+
+
+def test_load_lm_dispatches_char(lm, tmp_path):
+    from aas_enhancement_tpu.decode.lm import load_lm
+    path = str(tmp_path / "clm.json")
+    lm.save(path)
+    assert isinstance(load_lm(path), CharNGramLM)
+
+
+def _word_ambiguous_logits():
+    """Acoustic evidence slightly favors 'THE CAU' over 'THE CAT'; the word LM
+    knows CAT and must rescue the decode at the space/final boundary."""
+    v = len(LABELS)
+    ids = encode("THE CAT")
+    (u,) = encode("U")
+    blank = 0
+    rows = []
+    for i, c in enumerate(ids):
+        row = np.full(v, -12.0, np.float32)
+        if i == len(ids) - 1:            # last char: T vs U, U slightly ahead
+            row[u] = math.log(0.52)
+            row[c] = math.log(0.46)
+        else:
+            row[c] = 0.0
+        rows.append(row)
+        b = np.full(v, -12.0, np.float32)
+        b[blank] = 0.0
+        rows.append(b)
+    lp = np.stack(rows)
+    return (lp - np.log(np.sum(np.exp(lp), axis=1, keepdims=True))).astype(
+        np.float32)
+
+
+def test_word_lm_rescues_final_word(wlm):
+    lp = _word_ambiguous_logits()
+    no_lm = beam_decode(lp[None], beam_width=8)[0]
+    assert no_lm == "THE CAU"
+    fused = beam_decode(lp[None], beam_width=8, lm=wlm, lm_alpha=1.0)[0]
+    assert fused == "THE CAT", f"word-LM fusion failed: {fused!r}"
+
+
+def test_word_lm_native_matches_python(wlm):
+    rng = np.random.default_rng(5)
+    v = len(LABELS)
+    ex = wlm.export_native()
+    for trial in range(4):
+        logits = rng.standard_normal((24, v)).astype(np.float32) * 2.0
+        logits[:, 1] += 1.0              # make spaces likely enough to matter
+        lp = logits - np.log(np.sum(np.exp(logits), axis=1, keepdims=True))
+        kw = dict(beam_width=12, prune_k=8, word_ex=ex,
+                  lm_alpha=0.7, lm_beta=0.3)
+        nat = beam_search_native(lp, **kw)
+        assert nat is not None, "native decoder unavailable"
+        py = beam_search_python(lp, **kw)
+        assert nat[0] == py[0], f"trial {trial}: {nat} vs {py}"
+        assert nat[1] == pytest.approx(py[1], rel=1e-3, abs=5e-3)
+
+
+def test_word_bonus_boundary_cases(wlm):
+    from aas_enhancement_tpu.decode.beam import word_bonus
+    ex = wlm.export_native()
+    sp = ex["space_id"]
+    cat = tuple(encode("CAT"))
+    the = tuple(encode("THE"))
+    # Empty trailing segment (ends with space / empty prefix) scores 0.
+    assert word_bonus((), 1.0, 0.5, ex) == 0.0
+    assert word_bonus(the + (sp,), 1.0, 0.5, ex) == 0.0
+    # Sentence-initial word uses the BOS row.
+    assert word_bonus(the, 1.0, 0.0, ex) == pytest.approx(wlm.logp("THE"))
+    # Mid-sentence word conditions on the previous word.
+    assert word_bonus(the + (sp,) + cat, 1.0, 0.0, ex) == pytest.approx(
+        wlm.logp("CAT", "THE"))
+    # Runs of spaces collapse: prev is still THE.
+    assert word_bonus(the + (sp, sp) + cat, 1.0, 0.0, ex) == pytest.approx(
+        wlm.logp("CAT", "THE"))
+    # OOV word: flat floor + beta.
+    xyz = tuple(encode("XYZ"))
+    assert word_bonus(the + (sp,) + xyz, 1.0, 0.25, ex) == pytest.approx(
+        wlm.oov_logp + 0.25)
+
+
 def test_from_manifests(tmp_path):
     import csv
     wav = tmp_path / "a.wav"

@@ -99,3 +99,68 @@ def test_streaming_stats_converge_to_offline(setup):
     offline_mean = float(np.sum(np.asarray(log_mag)[0][: int(fl[0])])
                          / (int(fl[0]) * log_mag.shape[2]))
     assert abs(stream_mean - offline_mean) < 0.05 * max(abs(offline_mean), 0.1)
+
+
+# ------------------------------------------------- streaming-aware training
+
+def test_blockwise_apply_single_window_matches_full(setup):
+    """One window covering the whole utterance (no history/lookahead) must
+    reproduce the offline forward exactly — padding invariance of the masked
+    ops makes the window's trailing pad frames inert."""
+    from aas_enhancement_tpu.models.enhancer import Enhancer, blockwise_apply
+
+    cfg, params = setup
+    rng = np.random.default_rng(0)
+    t, f = 37, cfg.audio.num_bins
+    net_in = rng.standard_normal((2, t, f)).astype(np.float32)
+    lengths = np.array([t, 29], np.int32)
+    full = Enhancer(cfg.enhancer).apply(params, net_in, lengths)
+    block = blockwise_apply(cfg.enhancer, params, net_in, lengths,
+                            chunk_f=48, look_f=0, hist_f=0)
+    np.testing.assert_allclose(np.asarray(block), np.asarray(full),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_blockwise_apply_shapes_and_masking(setup):
+    from aas_enhancement_tpu.models.enhancer import blockwise_apply
+
+    cfg, params = setup
+    rng = np.random.default_rng(1)
+    t, f = 53, cfg.audio.num_bins
+    net_in = rng.standard_normal((2, t, f)).astype(np.float32)
+    lengths = np.array([t, 20], np.int32)
+    out = blockwise_apply(cfg.enhancer, params, net_in, lengths,
+                          chunk_f=16, look_f=4, hist_f=8)
+    assert out.shape == (2, t, f)
+    assert np.all(np.isfinite(np.asarray(out)))
+    # Padded frames stay zero (apply_time_mask at the stitch).
+    np.testing.assert_array_equal(np.asarray(out)[1, 20:], 0.0)
+
+
+def test_streaming_finetune_loss_decreases(tmp_path):
+    """The AAS objective trains through the block-bidirectional forward
+    (TrainConfig.streaming_finetune) and still learns."""
+    import dataclasses
+
+    from aas_enhancement_tpu.config import (AMConfig, DataConfig,
+                                            DiscriminatorConfig, TrainConfig)
+    from aas_enhancement_tpu.data.synthetic import generate_corpus
+    from aas_enhancement_tpu.train.loop import train
+
+    corpus = generate_corpus(str(tmp_path), n_utts=8, seed=11, vocab_chars=6)
+    cfg = Config(
+        am=AMConfig(rnn_hidden=32, rnn_layers=1, conv_channels=8),
+        enhancer=EnhancerConfig(conv_channels=8, conv_layers=1,
+                                rnn_hidden=24, rnn_layers=1),
+        discriminator=DiscriminatorConfig(channels=(8, 16)),
+        train=TrainConfig(objective="aas", batch_size=4, epochs=100,
+                          log_every=1, lr_g=2e-3, lr_d=2e-3,
+                          streaming_finetune=True, stream_chunk_s=0.5,
+                          stream_lookahead_s=0.1, stream_history_s=0.5),
+        data=DataConfig(num_buckets=1),
+    )
+    _, recs = train(cfg, corpus["noisy"], corpus["clean"], max_steps=14)
+    vals = [r["loss_g"] for r in recs if "loss_g" in r]
+    assert len(vals) >= 10
+    assert np.mean(vals[-3:]) < np.mean(vals[:3]), (
+        f"streaming-finetune loss did not decrease: {vals[:3]} -> {vals[-3:]}")
