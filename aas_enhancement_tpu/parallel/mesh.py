@@ -95,7 +95,23 @@ def shard_batch(mesh: Mesh, batch: dict[str, Any]) -> dict[str, Any]:
 
 def replicate_state(mesh: Mesh, state: Any) -> Any:
     rep = replicated(mesh)
-    return jax.device_put(state, rep)
+    if jax.process_count() == 1:
+        return jax.device_put(state, rep)
+    # Multi-host: device_put rejects shardings spanning non-addressable
+    # devices; build each global (fully replicated) array from the local copy
+    # instead — every process holds identical values (deterministic init), so
+    # the callback serves any requested shard index from the host buffer.
+    def put(x):
+        if isinstance(x, jax.Array) and jax.dtypes.issubdtype(
+                x.dtype, jax.dtypes.prng_key):
+            data = np.asarray(jax.random.key_data(x))
+            g = jax.make_array_from_callback(data.shape, rep,
+                                             lambda idx, a=data: a[idx])
+            return jax.random.wrap_key_data(g, impl=jax.random.key_impl(x))
+        arr = np.asarray(x)
+        return jax.make_array_from_callback(arr.shape, rep,
+                                            lambda idx, a=arr: a[idx])
+    return jax.tree.map(put, state)
 
 
 def pad_batch_to_devices(batch: dict[str, Any], n: int) -> dict[str, Any]:

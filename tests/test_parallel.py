@@ -2,6 +2,7 @@
 the pjit/mesh path must match the single-device run bitwise on CPU."""
 
 import dataclasses
+import os
 
 import jax
 import numpy as np
@@ -105,3 +106,23 @@ def test_grad_accum_on_mesh():
     # accumulation/reduction order.
     np.testing.assert_allclose(a1["loss_g"], a2["loss_g"], rtol=1e-3)
     np.testing.assert_allclose(a1["loss_d"], a2["loss_d"], rtol=1e-3)
+
+
+def test_multihost_two_process_smoke():
+    """VERDICT r2 #4: the multi-host input-sharding branch
+    (shard_batch -> make_array_from_process_local_data, replicate_state's
+    callback path) must EXECUTE, not just exist: 2 local processes x 4
+    virtual CPU devices via jax.distributed, loss trajectory equal to the
+    single-process 8-device control run (scripts/multihost_smoke.py)."""
+    import json
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = os.path.join(repo, "scripts", "multihost_smoke.py")
+    r = subprocess.run([sys.executable, script, "--steps", "2"],
+                       capture_output=True, text=True, timeout=850)
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
+    result = json.loads(r.stdout.strip().splitlines()[-1])
+    assert result["ok"], result
+    assert result["max_rel_loss_diff"] < 1e-4
