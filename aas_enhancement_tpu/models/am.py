@@ -28,10 +28,6 @@ from aas_enhancement_tpu.ops.norm import MaskedGroupNorm
 from aas_enhancement_tpu.ops.rnn import BiRNN
 
 
-def _hardtanh(x, lo=0.0, hi=20.0):
-    return jnp.clip(x, lo, hi)
-
-
 class AcousticModel(nn.Module):
     """log1p-magnitude [B, T, F] + lengths [B] -> (logits [B, T', V], out_lengths [B]).
 
@@ -53,16 +49,16 @@ class AcousticModel(nn.Module):
         x = SpaceToDepthConv(c, kernel_size=(11, 41), dtype=dtype,
                              name="conv1")(x)
         out_lengths = conv_out_length(lengths, 11, 2, "SAME")
-        # MaskedGroupNorm zeroes padded frames and hardtanh(0) == 0, so no extra
-        # time-mask pass is needed after either conv block.
-        x = MaskedGroupNorm(num_groups=8, dtype=dtype, name="gn1")(x, out_lengths)
-        x = _hardtanh(x)
+        # GN zeroes padded frames and hardtanh(0) == 0; the activation is fused
+        # into the norm (one write on the Pallas path).
+        x = MaskedGroupNorm(num_groups=8, dtype=dtype, act="hardtanh",
+                            name="gn1")(x, out_lengths)
 
         # conv2: kernel (time=11, freq=21), stride (1, 2)
         x = nn.Conv(c, kernel_size=(11, 21), strides=(1, 2), padding="SAME",
                     dtype=dtype, name="conv2")(x)
-        x = MaskedGroupNorm(num_groups=8, dtype=dtype, name="gn2")(x, out_lengths)
-        x = _hardtanh(x)
+        x = MaskedGroupNorm(num_groups=8, dtype=dtype, act="hardtanh",
+                            name="gn2")(x, out_lengths)
 
         b, t, f, ch = x.shape
         x = x.reshape(b, t, f * ch)

@@ -42,10 +42,10 @@ class Enhancer(nn.Module):
         for i in range(self.cfg.conv_layers):
             x = nn.Conv(self.cfg.conv_channels, kernel_size=(5, 5), strides=(1, 1),
                         padding="SAME", dtype=dtype, name=f"conv{i}")(x)
-            x = MaskedGroupNorm(num_groups=8, dtype=dtype, name=f"gn{i}")(x, lengths)
-            # MaskedGroupNorm zeroes padded frames and leaky_relu(0) == 0, so no
-            # extra time-mask pass is needed here.
-            x = nn.leaky_relu(x, negative_slope=0.2)
+            # GN zeroes padded frames and leaky_relu(0) == 0; the activation is
+            # fused into the norm so the Pallas path writes it in one pass.
+            x = MaskedGroupNorm(num_groups=8, dtype=dtype, act="leaky_relu",
+                                name=f"gn{i}")(x, lengths)
 
         b, t, f, c = x.shape
         x = x.reshape(b, t, f * c)

@@ -3,6 +3,15 @@
 Plain GroupNorm/BatchNorm would fold padded frames into their statistics, breaking the
 padding-invariance contract (SURVEY.md §4: model outputs identical for a padded batch
 vs per-utterance).  MaskedGroupNorm computes mean/var over valid time steps only.
+
+Two implementations behind one module:
+- "xla": the pure-JAX formulation below (reference semantics, used on CPU and
+  as the correctness oracle in tests/test_gn_kernel.py).
+- "pallas" (auto-selected on TPU): fused streaming kernels
+  (ops/pallas/gn_kernel.py) that read the activation in its storage dtype with
+  f32 accumulation and fuse the site activation — the round-2 trace showed the
+  XLA GN chains on the [128, 801, 161, 32] enhancer activation running at
+  1.75x the memory-bound ideal (BASELINE.md).
 """
 
 from __future__ import annotations
@@ -14,18 +23,49 @@ import jax.numpy as jnp
 from aas_enhancement_tpu.ops.masking import time_mask
 
 
+def _on_tpu() -> bool:
+    dev = jax.devices()[0]
+    return "tpu" in (dev.platform + " " + getattr(dev, "device_kind", "")).lower()
+
+
+def _activate(y: jnp.ndarray, act: str, slope: float) -> jnp.ndarray:
+    if act == "leaky_relu":
+        return nn.leaky_relu(y, negative_slope=slope)
+    if act == "hardtanh":
+        return jnp.clip(y, 0.0, 20.0)
+    return y
+
+
 class MaskedGroupNorm(nn.Module):
-    """GroupNorm over [B, T, F, C] with per-(batch, group) stats from valid frames."""
+    """GroupNorm over [B, T, F, C] with per-(batch, group) stats from valid frames.
+
+    act: optional fused activation applied AFTER normalization ("none" |
+    "leaky_relu" | "hardtanh") — the conv stems' nonlinearity, folded in so the
+    Pallas path writes the activated tensor in one pass.
+    """
 
     num_groups: int = 8
     epsilon: float = 1e-5
     dtype: jnp.dtype = jnp.float32
+    act: str = "none"
+    negative_slope: float = 0.2
+    impl: str = "auto"           # "auto" | "xla" | "pallas"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
         b, t, f, c = x.shape
         g = self.num_groups
         assert c % g == 0, f"channels {c} not divisible by groups {g}"
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+
+        use_pallas = self.impl == "pallas" or (self.impl == "auto" and _on_tpu())
+        if use_pallas:
+            from aas_enhancement_tpu.ops.pallas.gn_kernel import (
+                masked_group_norm_act)
+            return masked_group_norm_act(
+                x, scale, bias, lengths, num_groups=g, eps=self.epsilon,
+                act=self.act, slope=self.negative_slope, out_dtype=self.dtype)
 
         mask = time_mask(lengths, t, jnp.float32)[:, :, None, None]  # [B,T,1,1]
         xf = x.astype(jnp.float32)
@@ -38,13 +78,11 @@ class MaskedGroupNorm(nn.Module):
         var = jnp.maximum(sq - mean ** 2, 0.0)
 
         inv = jax.lax.rsqrt(var + self.epsilon)                      # [B, G]
-        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         # Fold (mean, inv, scale, bias) into one per-(B, C) affine pair.
         inv_c = jnp.reshape(jnp.broadcast_to(inv[:, :, None], (b, g, c // g)),
                             (b, 1, 1, c)) * scale
         off_c = bias - jnp.reshape(
             jnp.broadcast_to((mean * inv)[:, :, None], (b, g, c // g)),
             (b, 1, 1, c)) * scale
-        y = xf * inv_c + off_c
+        y = _activate(xf * inv_c + off_c, self.act, self.negative_slope)
         return (y * mask).astype(self.dtype)
