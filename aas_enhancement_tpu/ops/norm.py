@@ -5,13 +5,22 @@ padding-invariance contract (SURVEY.md §4: model outputs identical for a padded
 vs per-utterance).  MaskedGroupNorm computes mean/var over valid time steps only.
 
 Two implementations behind one module:
-- "xla": the pure-JAX formulation below (reference semantics, used on CPU and
-  as the correctness oracle in tests/test_gn_kernel.py).
-- "pallas" (auto-selected on TPU): fused streaming kernels
-  (ops/pallas/gn_kernel.py) that read the activation in its storage dtype with
-  f32 accumulation and fuse the site activation — the round-2 trace showed the
-  XLA GN chains on the [128, 801, 161, 32] enhancer activation running at
-  1.75x the memory-bound ideal (BASELINE.md).
+- "xla" (the default, impl="auto"): the pure-JAX formulation below.
+- "pallas": fused streaming kernels (ops/pallas/gn_kernel.py) that read the
+  activation in its storage dtype with f32 accumulation and fuse the site
+  activation.
+
+MEASURED DECISION (round 3, BASELINE.md trajectory): the round-2 trace showed
+the XLA GN chains running at 1.75x the memory-bound ideal, but swapping in the
+Pallas kernels made the full AAS step SLOWER — 494.6 utts/s/chip (258.8 ms)
+vs 597.5 (214.2 ms) — because each pallas_call is a fusion boundary: XLA had
+been folding the GN apply and activation into the neighboring conv fusions,
+and forcing them into standalone HBM passes costs more than the ~3 ms/GN of
+stats-pass inefficiency they recover.  Same conclusion as the round-2 Pallas
+DSP experiment (dsp/api.py).  "auto" therefore resolves to the XLA path; the
+kernels stay available and correctness-tested (tests/test_gn_kernel.py) for
+shapes where the trade flips (e.g. GN on tensors too large for XLA's fusion
+heuristics).
 """
 
 from __future__ import annotations
@@ -21,11 +30,6 @@ import jax
 import jax.numpy as jnp
 
 from aas_enhancement_tpu.ops.masking import time_mask
-
-
-def _on_tpu() -> bool:
-    dev = jax.devices()[0]
-    return "tpu" in (dev.platform + " " + getattr(dev, "device_kind", "")).lower()
 
 
 def _activate(y: jnp.ndarray, act: str, slope: float) -> jnp.ndarray:
@@ -49,7 +53,7 @@ class MaskedGroupNorm(nn.Module):
     dtype: jnp.dtype = jnp.float32
     act: str = "none"
     negative_slope: float = 0.2
-    impl: str = "auto"           # "auto" | "xla" | "pallas"
+    impl: str = "auto"           # "auto" (= xla, measured faster) | "xla" | "pallas"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
@@ -59,8 +63,7 @@ class MaskedGroupNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
 
-        use_pallas = self.impl == "pallas" or (self.impl == "auto" and _on_tpu())
-        if use_pallas:
+        if self.impl == "pallas":
             from aas_enhancement_tpu.ops.pallas.gn_kernel import (
                 masked_group_norm_act)
             return masked_group_norm_act(
@@ -84,5 +87,9 @@ class MaskedGroupNorm(nn.Module):
         off_c = bias - jnp.reshape(
             jnp.broadcast_to((mean * inv)[:, :, None], (b, g, c // g)),
             (b, 1, 1, c)) * scale
-        y = _activate(xf * inv_c + off_c, self.act, self.negative_slope)
-        return (y * mask).astype(self.dtype)
+        # Op order matters for XLA fusion: affine -> mask -> cast -> act is
+        # the round-2 chain measured at 214 ms/step; act BEFORE the mask/cast
+        # (in f32) measured 14 ms/step slower (BASELINE.md round-3 table).
+        # Equivalent because act(0) == 0 for every supported activation.
+        y = (xf * inv_c + off_c) * mask
+        return _activate(y.astype(self.dtype), self.act, self.negative_slope)

@@ -18,6 +18,12 @@ rows into per-(B, group) stats and per-channel param grads — so no strided
 lane gymnastics, and the kernels stay layout-trivial ([B, T, F*C] view of the
 conv's native NHWC output).
 
+TPU lowering shape rules (jax/_src/pallas/mosaic/lowering.py): the last two
+block dims must divide (8, 128) or equal the array dims, and SMEM scalars
+can't be per-grid-step blocked — hence per-(B) rows are carried as
+[B, 1, FC] with (1, 1, FC) blocks, and the lengths vector rides whole in
+SMEM, indexed by the batch grid coordinate.
+
 Semantics match ops/norm.MaskedGroupNorm exactly (valid-frame statistics,
 output masked to zero on padded frames), with the site activation
 (leaky_relu / hardtanh(0,20)) optionally fused into the apply/backward
@@ -63,11 +69,29 @@ def _t_tile(t: int) -> int:
 def _time_mask_block(len_ref, t_idx: int, tt: int):
     """[Tt, 1] bool validity of this tile's frames.
 
-    Apply with jnp.where, never multiplication: the final tile's rows beyond
-    the array bound are block padding with UNDEFINED contents (NaN in
-    interpret mode), and NaN * 0 is NaN."""
+    len_ref holds the FULL [B] lengths vector in SMEM; index it by the batch
+    grid coordinate.  Apply with jnp.where, never multiplication: the final
+    tile's rows beyond the array bound are block padding with UNDEFINED
+    contents (NaN in interpret mode), and NaN * 0 is NaN."""
     gt = t_idx * tt + jax.lax.broadcasted_iota(jnp.int32, (tt, 1), 0)
-    return gt < len_ref[0]
+    return gt < len_ref[pl.program_id(0)]
+
+
+def _specs(b: int, t: int, fc: int):
+    """Common BlockSpecs: (Tt, grid, lengths SMEM, big [1,Tt,FC], per-B row,
+    shared-const row)."""
+    tt = _t_tile(t)
+    return (
+        tt,
+        (b, pl.cdiv(t, tt)),
+        pl.BlockSpec((b,), lambda i, j: (0,), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, tt, fc), lambda i, j: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, fc), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, fc), lambda i, j: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    )
 
 
 # ------------------------------------------------------------------ forward
@@ -83,30 +107,20 @@ def _stats_kernel(len_ref, x_ref, sum_ref, sq_ref):
     x = x_ref[0].astype(jnp.float32)                       # [Tt, FC]
     m = _time_mask_block(len_ref, t_idx, x.shape[0])       # [Tt, 1]
     xm = jnp.where(m, x, 0.0)
-    sum_ref[:] += jnp.sum(xm, axis=0, keepdims=True)
-    sq_ref[:] += jnp.sum(xm * xm, axis=0, keepdims=True)
+    sum_ref[0] += jnp.sum(xm, axis=0, keepdims=True)
+    sq_ref[0] += jnp.sum(xm * xm, axis=0, keepdims=True)
 
 
 def _lane_stats(x2: jnp.ndarray, lengths: jnp.ndarray, interpret: bool):
-    """[B, T, FC] -> per-lane (sum, sumsq) [B, FC] f32 over valid frames."""
+    """[B, T, FC] -> per-lane (sum, sumsq) [B, 1, FC] f32 over valid frames."""
     b, t, fc = x2.shape
-    tt = _t_tile(t)
-    grid = (b, pl.cdiv(t, tt))
+    _, grid, len_spec, big, row, _ = _specs(b, t, fc)
     return pl.pallas_call(
         _stats_kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1,), lambda i, j: (i,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, tt, fc), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, fc), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, fc), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[jax.ShapeDtypeStruct((b, fc), jnp.float32)] * 2,
+        in_specs=[len_spec, big],
+        out_specs=[row, row],
+        out_shape=[jax.ShapeDtypeStruct((b, 1, fc), jnp.float32)] * 2,
         compiler_params=_compiler_params(),
         interpret=interpret,
     )(lengths.astype(jnp.int32), x2)
@@ -116,7 +130,7 @@ def _make_apply_kernel(act: str, slope: float, out_dtype):
     def kernel(len_ref, x_ref, inv_ref, off_ref, y_ref):
         t_idx = pl.program_id(1)
         x = x_ref[0].astype(jnp.float32)
-        z = x * inv_ref[:] + off_ref[:]                    # rows broadcast
+        z = x * inv_ref[0] + off_ref[0]                    # [1,FC] broadcast
         y = _act_apply(z, act, slope)
         m = _time_mask_block(len_ref, t_idx, x.shape[0])
         y_ref[0, :, :] = jnp.where(m, y, 0.0).astype(out_dtype)
@@ -125,22 +139,12 @@ def _make_apply_kernel(act: str, slope: float, out_dtype):
 
 def _apply(x2, lengths, inv_row, off_row, act, slope, out_dtype, interpret):
     b, t, fc = x2.shape
-    tt = _t_tile(t)
-    grid = (b, pl.cdiv(t, tt))
+    _, grid, len_spec, big, row, _ = _specs(b, t, fc)
     return pl.pallas_call(
         _make_apply_kernel(act, slope, jnp.dtype(out_dtype)),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1,), lambda i, j: (i,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, tt, fc), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, fc), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, fc), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, tt, fc), lambda i, j: (i, j, 0),
-                               memory_space=pltpu.VMEM),
+        in_specs=[len_spec, big, row, row],
+        out_specs=big,
         out_shape=jax.ShapeDtypeStruct((b, t, fc), jnp.dtype(out_dtype)),
         compiler_params=_compiler_params(),
         interpret=interpret,
@@ -161,12 +165,12 @@ def _make_bwd_stats_kernel(act: str, slope: float):
 
         x = x_ref[0].astype(jnp.float32)
         dy = dy_ref[0].astype(jnp.float32)
-        xhat = x * inv_ref[:] - muinv_ref[:]
-        z = xhat * sc_ref[:] + bi_ref[:]
+        xhat = x * inv_ref[0] - muinv_ref[0]
+        z = xhat * sc_ref[0] + bi_ref[0]
         m = _time_mask_block(len_ref, t_idx, x.shape[0])
         dz = jnp.where(m, dy * _act_grad(z, act, slope), 0.0)
-        sdz_ref[:] += jnp.sum(dz, axis=0, keepdims=True)
-        sdzx_ref[:] += jnp.sum(jnp.where(m, dz * xhat, 0.0), axis=0,
+        sdz_ref[0] += jnp.sum(dz, axis=0, keepdims=True)
+        sdzx_ref[0] += jnp.sum(jnp.where(m, dz * xhat, 0.0), axis=0,
                                keepdims=True)
     return kernel
 
@@ -174,21 +178,13 @@ def _make_bwd_stats_kernel(act: str, slope: float):
 def _bwd_lane_stats(x2, dy2, lengths, inv_row, muinv_row, scale_row, bias_row,
                     act, slope, interpret):
     b, t, fc = x2.shape
-    tt = _t_tile(t)
-    grid = (b, pl.cdiv(t, tt))
-    row = pl.BlockSpec((1, fc), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
-    crow = pl.BlockSpec((1, fc), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
-    big = pl.BlockSpec((1, tt, fc), lambda i, j: (i, j, 0),
-                       memory_space=pltpu.VMEM)
+    _, grid, len_spec, big, row, crow = _specs(b, t, fc)
     return pl.pallas_call(
         _make_bwd_stats_kernel(act, slope),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1,), lambda i, j: (i,), memory_space=pltpu.SMEM),
-            big, big, row, row, crow, crow,
-        ],
+        in_specs=[len_spec, big, big, row, row, crow, crow],
         out_specs=[row, row],
-        out_shape=[jax.ShapeDtypeStruct((b, fc), jnp.float32)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((b, 1, fc), jnp.float32)] * 2,
         compiler_params=_compiler_params(),
         interpret=interpret,
     )(lengths.astype(jnp.int32), x2, dy2, inv_row, muinv_row,
@@ -201,13 +197,13 @@ def _make_dx_kernel(act: str, slope: float, out_dtype):
         t_idx = pl.program_id(1)
         x = x_ref[0].astype(jnp.float32)
         dy = dy_ref[0].astype(jnp.float32)
-        xhat = x * inv_ref[:] - muinv_ref[:]
-        z = xhat * sc_ref[:] + bi_ref[:]
+        xhat = x * inv_ref[0] - muinv_ref[0]
+        z = xhat * sc_ref[0] + bi_ref[0]
         m = _time_mask_block(len_ref, t_idx, x.shape[0])
         dz = jnp.where(m, dy * _act_grad(z, act, slope), 0.0)
         # dx = inv*(scale*dz - mean_g(scale*dz) - xhat*mean_g(scale*dz*xhat));
         # a = scale*inv, s1/s2 rows carry inv*mean_g(scale*dz[*xhat]).
-        dx = a_ref[:] * dz - (s1_ref[:] + xhat * s2_ref[:])
+        dx = a_ref[0] * dz - (s1_ref[0] + xhat * s2_ref[0])
         dx_ref[0, :, :] = jnp.where(m, dx, 0.0).astype(out_dtype)
     return kernel
 
@@ -215,19 +211,11 @@ def _make_dx_kernel(act: str, slope: float, out_dtype):
 def _dx(x2, dy2, lengths, inv_row, muinv_row, scale_row, bias_row, a_row,
         s1_row, s2_row, act, slope, out_dtype, interpret):
     b, t, fc = x2.shape
-    tt = _t_tile(t)
-    grid = (b, pl.cdiv(t, tt))
-    row = pl.BlockSpec((1, fc), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
-    crow = pl.BlockSpec((1, fc), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
-    big = pl.BlockSpec((1, tt, fc), lambda i, j: (i, j, 0),
-                       memory_space=pltpu.VMEM)
+    _, grid, len_spec, big, row, crow = _specs(b, t, fc)
     return pl.pallas_call(
         _make_dx_kernel(act, slope, jnp.dtype(out_dtype)),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1,), lambda i, j: (i,), memory_space=pltpu.SMEM),
-            big, big, row, row, crow, crow, row, row, row,
-        ],
+        in_specs=[len_spec, big, big, row, row, crow, crow, row, row, row],
         out_specs=big,
         out_shape=jax.ShapeDtypeStruct((b, t, fc), jnp.dtype(out_dtype)),
         compiler_params=_compiler_params(),
@@ -239,13 +227,13 @@ def _dx(x2, dy2, lengths, inv_row, muinv_row, scale_row, bias_row, a_row,
 # ------------------------------------------------------------ orchestration
 
 def _rows(per_bc: jnp.ndarray, f: int) -> jnp.ndarray:
-    """[B, C] -> [B, F*C] lane rows (repeat across the F positions)."""
+    """[B, C] -> [B, 1, F*C] lane rows (repeat across the F positions)."""
     b, c = per_bc.shape
-    return jnp.broadcast_to(per_bc[:, None, :], (b, f, c)).reshape(b, f * c)
+    return jnp.broadcast_to(per_bc[:, None, :], (b, f, c)).reshape(b, 1, f * c)
 
 
 def _finalize_stats(s1_lane, s2_lane, lengths, f, c, g, eps):
-    """Per-lane sums -> (mean, inv) [B, C] f32 (+ count per group [B, 1])."""
+    """Per-lane sums [B, 1, FC] -> (mean, inv) [B, C] f32."""
     b = s1_lane.shape[0]
     sg1 = s1_lane.reshape(b, f, g, c // g).sum(axis=(1, 3))        # [B, G]
     sg2 = s2_lane.reshape(b, f, g, c // g).sum(axis=(1, 3))
@@ -254,7 +242,7 @@ def _finalize_stats(s1_lane, s2_lane, lengths, f, c, g, eps):
     var_g = jnp.maximum(sg2 / n - mean_g ** 2, 0.0)
     inv_g = jax.lax.rsqrt(var_g + eps)
     rep = lambda v: jnp.repeat(v, c // g, axis=1)                  # [B, C]
-    return rep(mean_g), rep(inv_g), n
+    return rep(mean_g), rep(inv_g)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
@@ -271,7 +259,7 @@ def _gn_fwd(x, scale, bias, lengths, num_groups, eps, act, slope,
     g = num_groups
     x2 = x.reshape(b, t, f * c)
     s1, s2 = _lane_stats(x2, lengths, interpret)
-    mean_c, inv_c, _ = _finalize_stats(s1, s2, lengths, f, c, g, eps)
+    mean_c, inv_c = _finalize_stats(s1, s2, lengths, f, c, g, eps)
     scale32 = scale.astype(jnp.float32)
     bias32 = bias.astype(jnp.float32)
     inv_s = inv_c * scale32[None, :]                               # [B, C]
@@ -292,8 +280,8 @@ def _gn_bwd(num_groups, eps, act, slope, out_dtype, interpret, res, dy):
 
     inv_row = _rows(inv_c, f)
     muinv_row = _rows(mean_c * inv_c, f)
-    scale_row = jnp.tile(scale32, f)[None, :]                      # [1, FC]
-    bias_row = jnp.tile(bias32, f)[None, :]
+    scale_row = jnp.tile(scale32, f).reshape(1, 1, f * c)
+    bias_row = jnp.tile(bias32, f).reshape(1, 1, f * c)
 
     sdz, sdzx = _bwd_lane_stats(x2, dy2, lengths, inv_row, muinv_row,
                                 scale_row, bias_row, act, slope, interpret)

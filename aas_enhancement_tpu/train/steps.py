@@ -130,23 +130,35 @@ def make_train_step(cfg: Config) -> Callable:
                  else jnp.float32(batch[rows_key].shape[0]))
         return total / k
 
+    # Microbatch i takes the STRIDED rows {r : r % k == i}, not a contiguous
+    # block: under the data-axis sharding each device owns a contiguous row
+    # block, so a contiguous microbatch would live entirely on ONE device and
+    # GSPMD would insert collective-permutes to spread it back out (measured:
+    # it does, and XLA:CPU's 40 s collective rendezvous then times out on the
+    # virtual mesh).  Strided rows keep every microbatch evenly sharded — the
+    # scan needs no communication at all.  The exact share-denominator
+    # weighting above is assignment-agnostic, so this is purely a layout
+    # decision.
+    def select_micro(batch, i):
+        return jax.tree.map(
+            lambda v: jax.lax.dynamic_index_in_dim(
+                v.reshape((v.shape[0] // k, k) + v.shape[1:]), i, axis=1,
+                keepdims=False), batch)
+
     def batch_grads(state: TrainState, batch) -> tuple[dict, dict]:
         if k == 1:
             return micro_grads(state, batch)
         wd = _share(batch, "row_weights", "wav")
         cwd = (_share(batch, "clean_row_weights", "clean_wav")
                if "clean_wav" in batch else None)
-        mbs = {kk: v.reshape((k, v.shape[0] // k) + v.shape[1:])
-               for kk, v in batch.items()}
-        first = jax.tree.map(lambda v: v[0], mbs)
-        rest = jax.tree.map(lambda v: v[1:], mbs)
-        init = micro_grads(state, first, wd, cwd)
+        init = micro_grads(state, select_micro(batch, 0), wd, cwd)
 
-        def body(carry, mb):
-            g, a = micro_grads(state, mb, wd, cwd)
+        def body(carry, i):
+            g, a = micro_grads(state, select_micro(batch, i), wd, cwd)
             return (_tree_add(carry[0], g), _tree_add(carry[1], a)), None
 
-        (grads, aux), _ = jax.lax.scan(body, init, rest)
+        (grads, aux), _ = jax.lax.scan(body, init,
+                                       jnp.arange(1, k, dtype=jnp.int32))
         return _tree_scale(grads, 1.0 / k), _tree_scale(aux, 1.0 / k)
 
     # ---------------------------------------------------------------- step

@@ -125,7 +125,10 @@ def main():
     with open(params_pkl, "wb") as f:
         pickle.dump({"cfg_json": cfg_aas.to_json(),
                      "am_params": jax.device_get(am_params),
-                     "g_params": jax.device_get(aas_state.g_params)}, f)
+                     "g_params": jax.device_get(aas_state.g_params),
+                     # full TrainState (optimizer states included) so
+                     # fine-tuning experiments can continue training.
+                     "state": jax.device_get(aas_state)}, f)
     with open(os.path.join(wd, "sweep_state.json"), "w") as f:
         json.dump({"params_pkl": params_pkl, "test_noisy": test["noisy"],
                    "test_clean": test["clean"], "dev_noisy": dev["noisy"],
