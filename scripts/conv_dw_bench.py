@@ -1,0 +1,100 @@
+"""Conv weight-gradient (dW) microbenchmark — the last single-chip lever.
+
+BASELINE.md round-2 trace: conv dW is the only component left measured at
+>2x off MXU peak (~15 ms of the 214 ms step recoverable at Pallas-conv
+complexity).  This measures each production conv's forward / dW / dx as its
+own warm jitted program and prints achieved vs roofline times, so the
+decision to build (or skip) a custom conv kernel is a recorded measurement
+(VERDICT r2 #6).
+
+Roofline per conv: time >= max(FLOPs / 197e12 bf16, bytes / 819e9).
+"""
+
+from __future__ import annotations
+
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aas_enhancement_tpu.utils import jax_cache
+jax_cache.enable()
+
+PEAK_FLOPS = 197e12      # v5e bf16
+HBM_BW = 819e9
+
+
+def timeit(fn, *args, iters=10):
+    out = fn(*args)
+    jax.tree.leaves(out)[0].block_until_ready()
+    float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])   # tunnel-safe sync
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
+    return (time.perf_counter() - t0) / iters * 1000.0
+
+
+def bench_conv(name, b, t, f, cin, cout, kt, kf, strides=(1, 1),
+               dtype=jnp.bfloat16):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((b, t, f, cin)), dtype) * 0.1
+    w = jnp.asarray(rng.standard_normal((kt, kf, cin, cout)), dtype) * 0.1
+
+    def conv(x_, w_):
+        return jax.lax.conv_general_dilated(
+            x_, w_, window_strides=strides, padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32).astype(dtype)
+
+    to, fo = -(-t // strides[0]), -(-f // strides[1])
+    dy = jnp.asarray(rng.standard_normal((b, to, fo, cout)), dtype) * 0.1
+
+    fwd_ms = timeit(jax.jit(conv), x, w)
+    dw_ms = timeit(jax.jit(lambda x_, dy_: jax.vjp(lambda w_: conv(x_, w_),
+                                                   w)[1](dy_)[0]), x, dy)
+    dx_ms = timeit(jax.jit(lambda w_, dy_: jax.vjp(lambda x_: conv(x_, w_),
+                                                   x)[1](dy_)[0]), w, dy)
+
+    flops = 2.0 * b * to * fo * kt * kf * cin * cout
+    bytes_x = x.size * x.dtype.itemsize
+    bytes_dy = dy.size * dy.dtype.itemsize
+    ideal = lambda fl, by: max(fl / PEAK_FLOPS, by / HBM_BW) * 1000.0
+    row = {
+        "conv": name,
+        "shape": f"[{b},{t},{f},{cin}]x({kt}x{kf})->{cout} s{strides}",
+        "fwd_ms": round(fwd_ms, 2),
+        "fwd_ideal_ms": round(ideal(flops, bytes_x + bytes_dy), 2),
+        "dw_ms": round(dw_ms, 2),
+        "dw_ideal_ms": round(ideal(flops, bytes_x + bytes_dy), 2),
+        "dx_ms": round(dx_ms, 2),
+        "gflop": round(flops / 1e9, 1),
+    }
+    row["dw_off_peak_x"] = round(row["dw_ms"] / max(row["dw_ideal_ms"], 1e-6), 2)
+    print(json.dumps(row), flush=True)
+    return row
+
+
+def main():
+    rows = [
+        # Enhancer conv stems at B=128 x 8 s (T=801, F=161, C=32).
+        bench_conv("G.conv0", 128, 801, 161, 1, 32, 5, 5),
+        bench_conv("G.conv1", 128, 801, 161, 32, 32, 5, 5),
+        # AM conv2 (post conv1 stride-2: T=401, F=81).
+        bench_conv("AM.conv2", 128, 401, 81, 32, 32, 11, 21),
+    ]
+    total_dw = sum(r["dw_ms"] for r in rows)
+    total_dw_ideal = sum(r["dw_ideal_ms"] for r in rows)
+    print(json.dumps({"total_dw_ms": round(total_dw, 2),
+                      "total_dw_ideal_ms": round(total_dw_ideal, 2),
+                      "recoverable_ms": round(total_dw - total_dw_ideal, 2)}))
+
+
+if __name__ == "__main__":
+    main()

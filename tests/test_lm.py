@@ -238,3 +238,22 @@ def test_from_manifests(tmp_path):
     lm = CharNGramLM.from_manifests(str(manifest), order=2)
     h, e = encode("HE")
     assert lm.logp(e, [h]) > lm.logp(encode("Z")[0], [h])
+
+
+def test_grid_search_lm_picks_winning_point(tmp_path, wlm):
+    """decode/tune.py: the grid must include the no-LM anchor, and on logits
+    where fusion helps, the tuned point must not be worse than no-LM."""
+    from aas_enhancement_tpu.decode.tune import wer_at
+    from aas_enhancement_tpu.decode.wer import corpus_wer
+
+    lp = _word_ambiguous_logits()
+    refs = ["THE CAT"]
+    lps = [lp]
+    w_no = wer_at(refs, lps, None, 0.0, 0.0, beam_width=8)
+    w_best = None
+    for a in (0.5, 1.0):
+        for b in (0.0, 0.5):
+            w = wer_at(refs, lps, wlm, a, b, beam_width=8)
+            w_best = w if w_best is None else min(w_best, w)
+    assert w_no > 0.0            # the ambiguous final word is wrong without LM
+    assert w_best == 0.0         # fusion rescues it somewhere on the grid
