@@ -30,31 +30,44 @@ PEAK_FLOPS = 197e12      # v5e bf16
 HBM_BW = 819e9
 
 
+def _sync(out):
+    # Device-side index, then fetch ONE element: block_until_ready does not
+    # sync through the axon tunnel, and np.asarray would pull the whole ~1 GB
+    # tensor across it.
+    float(jnp.ravel(jax.tree.leaves(out)[0])[0])
+
+
 def timeit(fn, *args, iters=10):
     out = fn(*args)
-    jax.tree.leaves(out)[0].block_until_ready()
-    float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])   # tunnel-safe sync
+    _sync(out)   # compile + warm
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
+    _sync(out)
     return (time.perf_counter() - t0) / iters * 1000.0
 
 
 def bench_conv(name, b, t, f, cin, cout, kt, kf, strides=(1, 1),
                dtype=jnp.bfloat16):
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((b, t, f, cin)), dtype) * 0.1
-    w = jnp.asarray(rng.standard_normal((kt, kf, cin, cout)), dtype) * 0.1
+    # Operands are generated ON DEVICE (the activation tensors are ~1 GB each;
+    # feeding them through the 14-47 MB/s axon tunnel would dominate the
+    # benchmark wall by hours).
+    key = jax.random.key(0)
+    kx, kw, kd = jax.random.split(key, 3)
+    mk = jax.jit(lambda k, shape: jax.random.normal(k, shape, dtype) * 0.1,
+                 static_argnums=1)
+    x = mk(kx, (b, t, f, cin))
+    w = mk(kw, (kt, kf, cin, cout))
 
     def conv(x_, w_):
+        # Pure-bf16 in/out, as in the production step (MXU still accumulates
+        # f32 internally); keeps VJP cotangent dtypes consistent.
         return jax.lax.conv_general_dilated(
             x_, w_, window_strides=strides, padding="SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32).astype(dtype)
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
     to, fo = -(-t // strides[0]), -(-f // strides[1])
-    dy = jnp.asarray(rng.standard_normal((b, to, fo, cout)), dtype) * 0.1
+    dy = mk(kd, (b, to, fo, cout))
 
     fwd_ms = timeit(jax.jit(conv), x, w)
     dw_ms = timeit(jax.jit(lambda x_, dy_: jax.vjp(lambda w_: conv(x_, w_),
