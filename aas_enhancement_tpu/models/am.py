@@ -54,7 +54,10 @@ class AcousticModel(nn.Module):
         x = MaskedGroupNorm(num_groups=8, dtype=dtype, act="hardtanh",
                             name="gn1")(x, out_lengths)
 
-        # conv2: kernel (time=11, freq=21), stride (1, 2)
+        # conv2: kernel (time=11, freq=21), stride (1, 2).  Plain XLA conv: the
+        # tap-packed Pallas dW (ops/pallas/conv_dw_kernel.py) measured SLOWER
+        # than XLA's conv VJP on this shape (38.6 vs 23.8 ms — BASELINE.md
+        # round-3 conv-dW experiment), so TapDWConv stays unwired.
         x = nn.Conv(c, kernel_size=(11, 21), strides=(1, 2), padding="SAME",
                     dtype=dtype, name="conv2")(x)
         x = MaskedGroupNorm(num_groups=8, dtype=dtype, act="hardtanh",

@@ -40,6 +40,9 @@ class Enhancer(nn.Module):
         x = log_mag.astype(dtype)[..., None]            # [B, T, F, 1]
 
         for i in range(self.cfg.conv_layers):
+            # Plain XLA conv: the tap-packed Pallas dW measured ~3.9x SLOWER
+            # here (78.7 vs 20.3 ms isolated — M=N=160 leaves the MXU
+            # fill-dominated; BASELINE.md round-3 conv-dW experiment).
             x = nn.Conv(self.cfg.conv_channels, kernel_size=(5, 5), strides=(1, 1),
                         padding="SAME", dtype=dtype, name=f"conv{i}")(x)
             # GN zeroes padded frames and leaky_relu(0) == 0; the activation is

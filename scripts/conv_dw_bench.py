@@ -75,6 +75,16 @@ def bench_conv(name, b, t, f, cin, cout, kt, kf, strides=(1, 1),
     dx_ms = timeit(jax.jit(lambda w_, dy_: jax.vjp(lambda x_: conv(x_, w_),
                                                    x)[1](dy_)[0]), w, dy)
 
+    # Tap-packed Pallas dW (ops/pallas/conv_dw_kernel) where supported.
+    pl_dw_ms = None
+    if strides[0] == 1 and strides[1] in (1, 2) and cin >= 8:
+        from aas_enhancement_tpu.ops.pallas.conv_dw_kernel import conv_dw_same
+        fn = jax.jit(lambda x_, dy_: conv_dw_same(x_, dy_, kt, kf, strides))
+        try:
+            pl_dw_ms = timeit(fn, x, dy)
+        except Exception as e:  # record lowering failures, don't die
+            pl_dw_ms = f"FAIL {type(e).__name__}"
+
     flops = 2.0 * b * to * fo * kt * kf * cin * cout
     bytes_x = x.size * x.dtype.itemsize
     bytes_dy = dy.size * dy.dtype.itemsize
@@ -90,6 +100,9 @@ def bench_conv(name, b, t, f, cin, cout, kt, kf, strides=(1, 1),
         "gflop": round(flops / 1e9, 1),
     }
     row["dw_off_peak_x"] = round(row["dw_ms"] / max(row["dw_ideal_ms"], 1e-6), 2)
+    if pl_dw_ms is not None:
+        row["pallas_dw_ms"] = (round(pl_dw_ms, 2)
+                               if isinstance(pl_dw_ms, float) else pl_dw_ms)
     print(json.dumps(row), flush=True)
     return row
 
@@ -99,8 +112,12 @@ def main():
         # Enhancer conv stems at B=128 x 8 s (T=801, F=161, C=32).
         bench_conv("G.conv0", 128, 801, 161, 1, 32, 5, 5),
         bench_conv("G.conv1", 128, 801, 161, 32, 32, 5, 5),
-        # AM conv2 (post conv1 stride-2: T=401, F=81).
+        # AM conv2 (post conv1 stride-2: T=401, F=81).  The s(1,1) row is the
+        # round-3 recorded comparison point; the s(1,2) row is the conv the
+        # production step actually runs.
         bench_conv("AM.conv2", 128, 401, 81, 32, 32, 11, 21),
+        bench_conv("AM.conv2.real", 128, 401, 81, 32, 32, 11, 21,
+                   strides=(1, 2)),
     ]
     total_dw = sum(r["dw_ms"] for r in rows)
     total_dw_ideal = sum(r["dw_ideal_ms"] for r in rows)
