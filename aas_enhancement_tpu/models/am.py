@@ -22,7 +22,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from aas_enhancement_tpu.config import AMConfig
-from aas_enhancement_tpu.ops.conv import SpaceToDepthConv
+from aas_enhancement_tpu.ops.conv import SpaceToDepthConv, TapDWConv
 from aas_enhancement_tpu.ops.masking import apply_time_mask, conv_out_length
 from aas_enhancement_tpu.ops.norm import MaskedGroupNorm
 from aas_enhancement_tpu.ops.rnn import BiRNN
@@ -54,12 +54,16 @@ class AcousticModel(nn.Module):
         x = MaskedGroupNorm(num_groups=8, dtype=dtype, act="hardtanh",
                             name="gn1")(x, out_lengths)
 
-        # conv2: kernel (time=11, freq=21), stride (1, 2).  Plain XLA conv: the
-        # tap-packed Pallas dW (ops/pallas/conv_dw_kernel.py) measured SLOWER
-        # than XLA's conv VJP on this shape (38.6 vs 23.8 ms — BASELINE.md
-        # round-3 conv-dW experiment), so TapDWConv stays unwired.
-        x = nn.Conv(c, kernel_size=(11, 21), strides=(1, 2), padding="SAME",
-                    dtype=dtype, name="conv2")(x)
+        # conv2: kernel (time=11, freq=21), stride (1, 2).  dW stays XLA (the
+        # tap-packed Pallas dW measured SLOWER, 38.6 vs 23.8 ms — BASELINE.md
+        # round-3); dx uses the fused polyphase conv (conv_dx_phase_fused):
+        # XLA's lhs-dilated transposed conv wastes half its MACs on structural
+        # zeros; the channel-stacked one-conv phase decomposition measured
+        # 9.96 vs 23.78 ms isolated (BASELINE.md conv microbench).
+        # AAS_PHASEDX=0 restores the XLA dx (A/B anchor).  Param tree
+        # identical to nn.Conv.
+        x = TapDWConv(c, kernel_size=(11, 21), strides=(1, 2), dtype=dtype,
+                      dw_impl="xla", dx_impl="phase_fused", name="conv2")(x)
         x = MaskedGroupNorm(num_groups=8, dtype=dtype, act="hardtanh",
                             name="gn2")(x, out_lengths)
 

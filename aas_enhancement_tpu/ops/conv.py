@@ -88,17 +88,126 @@ def _nhwc_conv(x, w, strides):
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def conv2d_tapdw(x: jnp.ndarray, w: jnp.ndarray, strides: tuple[int, int],
-                 dw_impl: str = "auto") -> jnp.ndarray:
-    """SAME-padded NHWC conv whose backward computes dW with the tap-packed
-    Pallas kernel (ops/pallas/conv_dw_kernel.py) when supported.
+# --- Polyphase dx for stride-(1, 2) SAME convs -----------------------------
+#
+# XLA computes dx of a strided conv as an lhs-DILATED transposed conv: dy is
+# zero-stuffed to the input resolution, so half the MACs hit structural zeros
+# and the dilated schedule tiles poorly (measured 24.1 ms vs the stride-1
+# transposed conv's ~17.8 ms for the same useful FLOPs on AM.conv2 —
+# BASELINE.md conv microbench).  The polyphase decomposition removes the
+# dilation: dx positions of each frequency PARITY touch a disjoint half of the
+# kernel taps, so dx = interleave(conv(dy, w_even), conv(dy, w_odd)) — two
+# ordinary stride-1 convs over the Fo-resolution dy, zero wasted multiplies.
 
-    Forward and dx are XLA's native conv ops (measured at/near roofline
-    in-step, BASELINE.md); only dW — the one >2x-off-peak component — is
-    replaced.  The primal is bit-identical to lax conv; only the weight
-    gradient's summation ORDER differs (same f32 accumulation).
-    dw_impl: "auto" (Pallas on TPU when the shape qualifies), "xla", "pallas".
+
+def _phasedx_supported(w_shape, strides) -> bool:
+    return strides[0] == 1 and strides[1] == 2
+
+
+def conv_dx_phase_split(dy: jnp.ndarray, w: jnp.ndarray,
+                        x_shape: tuple[int, ...],
+                        strides: tuple[int, int]) -> jnp.ndarray:
+    """dx of `lax.conv_general_dilated(x, w, strides, "SAME", NHWC/HWIO)` for
+    strides (1, 2), as two stride-1 convs (one per output-frequency parity).
+
+    Forward: y[to, fo] = sum_{kt, kf} x[to + kt - pt_lo, 2*fo + kf - pf_lo] w[kt, kf]
+    so dx[t, f] sums dy[fo] w[kf] over fo = (f + pf_lo - kf)/2 — integral only
+    when kf == (f + pf_lo) mod 2.  For each parity p of f the surviving taps
+    are w[:, r::2] with r = (p + pf_lo) % 2, and fo = g + c_p - j runs linearly
+    in the phase position g = f//2: an ordinary correlation of dy with the
+    (spatially reversed, I/O-transposed) phase kernel.  Exact in f32; equal to
+    XLA's dx up to summation order otherwise.
+    """
+    kt_, kf_, ci, co = w.shape
+    b, t, f, _ = x_shape
+    to, fo = dy.shape[1], dy.shape[2]
+    pt_lo, pt_hi = _same_pad(t, kt_, 1)
+    pf_lo, _pf_hi = _same_pad(f, kf_, 2)
+
+    # Time axis (stride 1): standard transposed conv = correlation with the
+    # t-reversed kernel under flipped padding.
+    pad_t = (kt_ - 1 - pt_lo, kt_ - 1 - pt_hi)
+
+    phases = []
+    g0 = (f + 1) // 2
+    for p in (0, 1):
+        r = (p + pf_lo) % 2
+        taps = w[::-1, r::2]                       # [kt, Jp, ci, co]
+        jp = taps.shape[1]
+        gp = (f - p + 1) // 2                      # # of dx positions, parity p
+        if jp == 0:
+            phases.append(jnp.zeros((b, t, g0, ci), dy.dtype))
+            continue
+        c_p = (p + pf_lo - r) // 2
+        pad_lo = jp - 1 - c_p
+        pad_hi = gp - fo - pad_lo + jp - 1
+        ker = jnp.swapaxes(taps[:, ::-1], 2, 3)    # [kt, Jp, co, ci]
+        dxp = jax.lax.conv_general_dilated(
+            dy, ker.astype(dy.dtype), window_strides=(1, 1),
+            padding=(pad_t, (pad_lo, pad_hi)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if gp < g0:                                # odd F: one fewer odd slot
+            dxp = jnp.pad(dxp, ((0, 0), (0, 0), (0, g0 - gp), (0, 0)))
+        phases.append(dxp)
+
+    out = jnp.stack(phases, axis=3).reshape(b, t, 2 * g0, ci)
+    return out[:, :, :f]
+
+
+def conv_dx_phase_fused(dy: jnp.ndarray, w: jnp.ndarray,
+                        x_shape: tuple[int, ...],
+                        strides: tuple[int, int]) -> jnp.ndarray:
+    """Same dx as `conv_dx_phase_split`, but as ONE stride-1 conv.
+
+    The two parity phases are stacked along the OUTPUT-channel dim (channel
+    index = parity * ci + c), so the interleave back to input resolution is a
+    contiguous reshape [B,T,G,2*ci] -> [B,T,G,2,ci] -> [B,T,2G,ci] — free,
+    unlike the split version's stack(axis=3) shuffle — and the conv's output
+    width doubles to 2*ci, filling more MXU lanes.  Phase kernels are aligned
+    to a common left padding by zero-tap shifts (<= 1 extra tap column), so
+    the MAC count stays ~half of XLA's lhs-dilated transposed conv.
+    """
+    kt_, kf_, ci, co = w.shape
+    b, t, f, _ = x_shape
+    fo = dy.shape[2]
+    pt_lo, pt_hi = _same_pad(t, kt_, 1)
+    pf_lo, _pf_hi = _same_pad(f, kf_, 2)
+    pad_t = (kt_ - 1 - pt_lo, kt_ - 1 - pt_hi)
+    g0 = (f + 1) // 2
+
+    kers, los = [], []
+    for p in (0, 1):
+        r = (p + pf_lo) % 2
+        taps = w[::-1, r::2]                       # [kt, Jp, ci, co]
+        c_p = (p + pf_lo - r) // 2
+        kers.append(jnp.swapaxes(taps[:, ::-1], 2, 3))   # [kt, Jp, co, ci]
+        los.append(taps.shape[1] - 1 - c_p)
+    lo = max(los)
+    J = max(k.shape[1] + (lo - plo) for k, plo in zip(kers, los))
+    parts = [jnp.pad(k, ((0, 0), (lo - plo, J - (lo - plo) - k.shape[1]),
+                         (0, 0), (0, 0)))
+             for k, plo in zip(kers, los)]
+    ker = jnp.concatenate(parts, axis=3)           # [kt, J, co, 2*ci]
+
+    out = jax.lax.conv_general_dilated(
+        dy, ker.astype(dy.dtype), window_strides=(1, 1),
+        padding=(pad_t, (lo, g0 - fo - lo + J - 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))  # [b, t, g0, 2*ci]
+    return out.reshape(b, t, 2 * g0, ci)[:, :, :f]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def conv2d_tapdw(x: jnp.ndarray, w: jnp.ndarray, strides: tuple[int, int],
+                 dw_impl: str = "auto", dx_impl: str = "xla") -> jnp.ndarray:
+    """SAME-padded NHWC conv with replaceable backward implementations.
+
+    The primal is bit-identical to lax conv; the gradients differ only in
+    summation ORDER (same f32 accumulation).
+    dw_impl: "auto" (tap-packed Pallas on TPU when the shape qualifies),
+      "xla", "pallas" — measured NEGATIVE on production shapes (BASELINE.md),
+      kept as a tested artifact.
+    dx_impl: "xla", "phase_split" (two convs + interleave), or "phase_fused"
+      (one channel-stacked conv) — polyphase stride-(1,2) dx variants above.
     """
     return _nhwc_conv(x, w, strides)
 
@@ -108,17 +217,25 @@ def _tapdw_supported(w_shape, strides) -> bool:
     return strides[0] == 1 and strides[1] in (1, 2) and ci >= 8
 
 
-def _conv2d_tapdw_fwd(x, w, strides, dw_impl):
+def _conv2d_tapdw_fwd(x, w, strides, dw_impl, dx_impl):
     return _nhwc_conv(x, w, strides), (x, w)
 
 
-def _conv2d_tapdw_bwd(strides, dw_impl, res, dy):
+def _conv2d_tapdw_bwd(strides, dw_impl, dx_impl, res, dy):
     from aas_enhancement_tpu.ops.pallas.conv_dw_kernel import conv_dw_same
 
     import os
 
     x, w = res
-    dx = jax.vjp(lambda x_: _nhwc_conv(x_, w, strides), x)[1](dy)[0]
+    # AAS_PHASEDX=0 forces the XLA dx — same-session A/B anchor.
+    if (dx_impl in ("phase_split", "phase_fused")
+            and _phasedx_supported(w.shape, strides)
+            and os.environ.get("AAS_PHASEDX", "1") != "0"):
+        fn = (conv_dx_phase_fused if dx_impl == "phase_fused"
+              else conv_dx_phase_split)
+        dx = fn(dy, w, x.shape, strides)
+    else:
+        dx = jax.vjp(lambda x_: _nhwc_conv(x_, w, strides), x)[1](dy)[0]
     # AAS_TAPDW=0 forces the XLA dW everywhere — the same-session A/B anchor
     # for full-step measurements (BASELINE.md round-3 protocol).
     use_pallas = (os.environ.get("AAS_TAPDW", "1") != "0"
@@ -146,6 +263,7 @@ class TapDWConv(nn.Module):
     strides: tuple[int, int] = (1, 1)
     dtype: jnp.dtype = jnp.float32
     dw_impl: str = "auto"        # "auto" | "xla" | "pallas"
+    dx_impl: str = "xla"         # "xla" | "phase_split" | "phase_fused"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -156,5 +274,5 @@ class TapDWConv(nn.Module):
                           (self.features,), jnp.float32)
         dtype = jnp.dtype(self.dtype)
         y = conv2d_tapdw(x.astype(dtype), kernel.astype(dtype),
-                         tuple(self.strides), self.dw_impl)
+                         tuple(self.strides), self.dw_impl, self.dx_impl)
         return y + bias.astype(dtype)

@@ -44,7 +44,7 @@ def bench_objective(objective: str, batch_size: int = 128,
                                             TrainConfig)
     from aas_enhancement_tpu.parallel.mesh import (make_mesh, replicate_state,
                                                    shard_batch)
-    from aas_enhancement_tpu.train.state import init_state
+    from aas_enhancement_tpu.train.loop import init_state
     from aas_enhancement_tpu.train.steps import make_train_step
 
     cfg = Config(am=AMConfig(dtype="bfloat16"),

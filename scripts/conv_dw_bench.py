@@ -85,6 +85,18 @@ def bench_conv(name, b, t, f, cin, cout, kt, kf, strides=(1, 1),
         except Exception as e:  # record lowering failures, don't die
             pl_dw_ms = f"FAIL {type(e).__name__}"
 
+    # Polyphase dx (ops/conv.conv_dx_phase_*) for stride-(1,2) convs.
+    ps_dx_ms = pf_dx_ms = None
+    if strides == (1, 2):
+        from aas_enhancement_tpu.ops.conv import (conv_dx_phase_fused,
+                                                  conv_dx_phase_split)
+        fn = jax.jit(lambda dy_, w_: conv_dx_phase_split(
+            dy_, w_, (b, t, f, cin), strides))
+        ps_dx_ms = timeit(fn, dy, w)
+        fn2 = jax.jit(lambda dy_, w_: conv_dx_phase_fused(
+            dy_, w_, (b, t, f, cin), strides))
+        pf_dx_ms = timeit(fn2, dy, w)
+
     flops = 2.0 * b * to * fo * kt * kf * cin * cout
     bytes_x = x.size * x.dtype.itemsize
     bytes_dy = dy.size * dy.dtype.itemsize
@@ -103,6 +115,10 @@ def bench_conv(name, b, t, f, cin, cout, kt, kf, strides=(1, 1),
     if pl_dw_ms is not None:
         row["pallas_dw_ms"] = (round(pl_dw_ms, 2)
                                if isinstance(pl_dw_ms, float) else pl_dw_ms)
+    if ps_dx_ms is not None:
+        row["phase_split_dx_ms"] = round(ps_dx_ms, 2)
+    if pf_dx_ms is not None:
+        row["phase_fused_dx_ms"] = round(pf_dx_ms, 2)
     print(json.dumps(row), flush=True)
     return row
 

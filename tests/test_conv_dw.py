@@ -82,6 +82,54 @@ def test_tapdw_module_drop_in_for_nn_conv():
         assert _rel(a, b) < 1e-5
 
 
+@pytest.mark.parametrize("impl", ["phase_split", "phase_fused"])
+@pytest.mark.parametrize("shape", [
+    # b, t, f, ci, co, kt, kf   (strides fixed at (1, 2))
+    (2, 29, 81, 4, 8, 11, 21),   # AM.conv2 geometry: odd F, odd KF, pf_lo=10
+    (2, 17, 80, 4, 4, 5, 21),    # even F with ODD pf_lo (pf_total=19)
+    (2, 13, 18, 4, 4, 3, 6),     # even KF
+    (1, 11, 7, 4, 4, 3, 1),      # KF=1: odd-parity phase has zero taps
+    (2, 15, 16, 4, 4, 1, 5),     # KT=1
+    (2, 12, 17, 4, 4, 4, 4),     # even everything, odd F
+])
+def test_phase_split_dx_matches_xla(shape, impl):
+    from aas_enhancement_tpu.ops.conv import (conv_dx_phase_fused,
+                                              conv_dx_phase_split)
+    fn = conv_dx_phase_fused if impl == "phase_fused" else conv_dx_phase_split
+
+    b, t, f, ci, co, kt, kf = shape
+    strides = (1, 2)
+    kw_, kd = jax.random.split(jax.random.key(5), 2)
+    w = jax.random.normal(kw_, (kt, kf, ci, co), jnp.float32)
+    to, fo = t, -(-f // 2)
+    dy = jax.random.normal(kd, (b, to, fo, co), jnp.float32)
+    x0 = jnp.zeros((b, t, f, ci), jnp.float32)
+
+    ref = jax.vjp(lambda x_: _nhwc_conv(x_, w, strides), x0)[1](dy)[0]
+    got = fn(dy, w, x0.shape, strides)
+    assert got.shape == ref.shape
+    assert _rel(got, ref) < 1e-5
+
+
+def test_conv2d_phasedx_full_vjp():
+    """conv2d_tapdw with dx_impl=phase_split: primal + dW match lax conv
+    exactly, dx to f32 tolerance."""
+    kx, kw_, kd = jax.random.split(jax.random.key(6), 3)
+    x = jax.random.normal(kx, (2, 19, 17, 4), jnp.float32)
+    w = jax.random.normal(kw_, (5, 7, 4, 8), jnp.float32)
+    dy = jax.random.normal(kd, (2, 19, 9, 8), jnp.float32)
+
+    y, pull = jax.vjp(
+        lambda x_, w_: conv2d_tapdw(x_, w_, (1, 2), "xla", "phase_split"),
+        x, w)
+    y_ref, pull_ref = jax.vjp(lambda x_, w_: _nhwc_conv(x_, w_, (1, 2)), x, w)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(y_ref))
+    dx, dw = pull(dy)
+    dx_ref, dw_ref = pull_ref(dy)
+    np.testing.assert_array_equal(np.asarray(dw), np.asarray(dw_ref))
+    assert _rel(dx, dx_ref) < 1e-5
+
+
 def test_tapdw_unsupported_shapes_fall_back():
     """ci=1 (G.conv0 class) and stride (2,2) route to the XLA dW and still
     produce correct gradients."""
