@@ -16,6 +16,7 @@ identical up to bf16 summation order.
 from __future__ import annotations
 
 import functools
+import os
 
 import flax.linen as nn
 import jax
@@ -196,6 +197,59 @@ def conv_dx_phase_fused(dy: jnp.ndarray, w: jnp.ndarray,
     return out.reshape(b, t, 2 * g0, ci)[:, :, :f]
 
 
+def conv2d_freq_fold(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """SAME stride-(1,2) NHWC conv evaluated as a STRIDE-1 conv on the
+    frequency space-to-depth folded signal.
+
+    x [B,T,F,ci] is padded to even F and reshaped to [B,T,G,2*ci] (contiguous
+    — free), G = ceil(F/2), folded channel = parity*ci + c; the [kt,kf,ci,co]
+    kernel is regrouped by frequency-tap parity into [kt,J,2*ci,co] with
+    J = ceil((kf+1)/2).  The stride disappears entirely, so the conv's
+    autodiff backward is also stride-1: dx needs no lhs dilation (the fold is
+    the same reformulation `conv_dx_phase_fused` applies to dy, now applied
+    once to the primal) and dW runs with 2*ci=64 input-channel lanes — the
+    lane-starved dimension of the measured ~4.5x-off dW (BASELINE.md).  No
+    custom VJP: gradients flow through the fold reshapes, and dW is
+    reconstructed to [kt,kf,ci,co] by the kernel-fold transpose (kernel-sized,
+    negligible).  Equal to `lax.conv` up to f32 summation order (the parity
+    pair joins the channel reduction).
+    """
+    kt_, kf_, ci, co = w.shape
+    b, t, f, _ = x.shape
+    pt = _same_pad(t, kt_, 1)
+    pf_lo, _pf_hi = _same_pad(f, kf_, 2)
+
+    xp = jnp.pad(x, ((0, 0), (0, 0), (0, (-f) % 2), (0, 0)))
+    g = xp.shape[2] // 2
+    xf = xp.reshape(b, t, g, 2 * ci)
+
+    # Tap kf lands at folded offset (kf - pf_lo - p)//2 in parity slot
+    # p = (kf - pf_lo) % 2; each parity's taps w[:, r::2] occupy consecutive
+    # folded offsets starting at e_p.
+    groups = []
+    for p in (0, 1):
+        r = (pf_lo + p) % 2
+        groups.append(((r - pf_lo - p) // 2, w[:, r::2]))
+    occupied = [(e, e + taps.shape[1] - 1) for e, taps in groups
+                if taps.shape[1]]
+    j_min = min(lo for lo, _ in occupied)
+    J = max(hi for _, hi in occupied) - j_min + 1
+    parts = []
+    for e, taps in groups:
+        if taps.shape[1] == 0:
+            parts.append(jnp.zeros((kt_, J, ci, co), w.dtype))
+        else:
+            lo = e - j_min
+            parts.append(jnp.pad(taps, ((0, 0), (lo, J - lo - taps.shape[1]),
+                                        (0, 0), (0, 0))))
+    wf = jnp.concatenate(parts, axis=2)            # [kt, J, 2*ci, co]
+
+    return jax.lax.conv_general_dilated(
+        xf, wf.astype(xf.dtype), window_strides=(1, 1),
+        padding=(pt, (-j_min, J - 1 + j_min)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def conv2d_tapdw(x: jnp.ndarray, w: jnp.ndarray, strides: tuple[int, int],
                  dw_impl: str = "auto", dx_impl: str = "xla") -> jnp.ndarray:
@@ -264,6 +318,7 @@ class TapDWConv(nn.Module):
     dtype: jnp.dtype = jnp.float32
     dw_impl: str = "auto"        # "auto" | "xla" | "pallas"
     dx_impl: str = "xla"         # "xla" | "phase_split" | "phase_fused"
+    impl: str = "custom_vjp"     # "custom_vjp" | "freq_fold" (stride (1,2))
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -273,6 +328,12 @@ class TapDWConv(nn.Module):
         bias = self.param("bias", nn.initializers.zeros,
                           (self.features,), jnp.float32)
         dtype = jnp.dtype(self.dtype)
-        y = conv2d_tapdw(x.astype(dtype), kernel.astype(dtype),
-                         tuple(self.strides), self.dw_impl, self.dx_impl)
+        # AAS_FREQFOLD=0 restores the custom_vjp path (same-session A/B
+        # anchor); read at trace time like the other conv gates.
+        if (self.impl == "freq_fold" and tuple(self.strides) == (1, 2)
+                and os.environ.get("AAS_FREQFOLD", "1") != "0"):
+            y = conv2d_freq_fold(x.astype(dtype), kernel.astype(dtype))
+        else:
+            y = conv2d_tapdw(x.astype(dtype), kernel.astype(dtype),
+                             tuple(self.strides), self.dw_impl, self.dx_impl)
         return y + bias.astype(dtype)

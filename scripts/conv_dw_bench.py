@@ -119,6 +119,16 @@ def bench_conv(name, b, t, f, cin, cout, kt, kf, strides=(1, 1),
         row["phase_split_dx_ms"] = round(ps_dx_ms, 2)
     if pf_dx_ms is not None:
         row["phase_fused_dx_ms"] = round(pf_dx_ms, 2)
+    if strides == (1, 2):
+        # Fully folded formulation: fwd + autodiff dx/dW of conv2d_freq_fold.
+        from aas_enhancement_tpu.ops.conv import conv2d_freq_fold
+        row["fold_fwd_ms"] = round(timeit(jax.jit(conv2d_freq_fold), x, w), 2)
+        row["fold_dx_ms"] = round(timeit(jax.jit(
+            lambda x_, w_, dy_: jax.vjp(conv2d_freq_fold, x_, w_)[1](dy_)[0]),
+            x, w, dy), 2)
+        row["fold_dw_ms"] = round(timeit(jax.jit(
+            lambda x_, w_, dy_: jax.vjp(conv2d_freq_fold, x_, w_)[1](dy_)[1]),
+            x, w, dy), 2)
     print(json.dumps(row), flush=True)
     return row
 

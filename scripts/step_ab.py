@@ -39,7 +39,9 @@ def main():
                       round(best["train_utts_per_sec_per_chip"], 2),
                       "best_step_ms": round(best["train_step_ms"], 2),
                       "gate_AAS_PHASEDX": _os.environ.get("AAS_PHASEDX", "1"),
-                      "gate_AAS_TAPDW": _os.environ.get("AAS_TAPDW", "1")}),
+                      "gate_AAS_TAPDW": _os.environ.get("AAS_TAPDW", "1"),
+                      "gate_AAS_FREQFOLD": _os.environ.get("AAS_FREQFOLD",
+                                                           "1")}),
           flush=True)
 
 

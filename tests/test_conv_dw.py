@@ -111,6 +111,50 @@ def test_phase_split_dx_matches_xla(shape, impl):
     assert _rel(got, ref) < 1e-5
 
 
+@pytest.mark.parametrize("shape", [
+    # b, t, f, ci, co, kt, kf   (strides fixed at (1, 2))
+    (2, 29, 81, 4, 8, 11, 21),   # AM.conv2 geometry: odd F, odd KF, pf_lo=10
+    (2, 17, 80, 4, 4, 5, 21),    # even F with ODD pf_lo (pf_total=19)
+    (2, 13, 18, 4, 4, 3, 6),     # even KF
+    (1, 11, 7, 4, 4, 3, 1),      # KF=1: one parity has zero taps
+    (2, 15, 16, 4, 4, 1, 5),     # KT=1
+    (2, 12, 17, 4, 4, 4, 4),     # even everything, odd F
+])
+def test_freq_fold_conv_matches_xla(shape):
+    """conv2d_freq_fold: forward AND both autodiff grads match the lax conv
+    to f32 summation-order tolerance."""
+    from aas_enhancement_tpu.ops.conv import conv2d_freq_fold
+
+    b, t, f, ci, co, kt, kf = shape
+    kx, kw_, kd = jax.random.split(jax.random.key(8), 3)
+    x = jax.random.normal(kx, (b, t, f, ci), jnp.float32)
+    w = jax.random.normal(kw_, (kt, kf, ci, co), jnp.float32)
+    dy = jax.random.normal(kd, (b, t, -(-f // 2), co), jnp.float32)
+
+    y, pull = jax.vjp(conv2d_freq_fold, x, w)
+    y_ref, pull_ref = jax.vjp(lambda x_, w_: _nhwc_conv(x_, w_, (1, 2)), x, w)
+    assert y.shape == y_ref.shape
+    assert _rel(y, y_ref) < 1e-5
+    (dx, dw), (dx_ref, dw_ref) = pull(dy), pull_ref(dy)
+    assert _rel(dx, dx_ref) < 1e-5
+    assert _rel(dw, dw_ref) < 1e-5
+
+
+def test_freq_fold_module_drop_in():
+    """TapDWConv(impl="freq_fold") keeps the nn.Conv param tree and output."""
+    import numpy as np
+    from aas_enhancement_tpu.ops.conv import TapDWConv
+
+    x = jax.random.normal(jax.random.key(9), (2, 19, 17, 4), jnp.float32)
+    ref_mod = nn.Conv(8, kernel_size=(5, 7), strides=(1, 2), padding="SAME")
+    mod = TapDWConv(8, kernel_size=(5, 7), strides=(1, 2), impl="freq_fold")
+    params = ref_mod.init(jax.random.key(1), x)
+    y_ref = ref_mod.apply(params, x)
+    y = mod.apply(params, x)
+    assert y.shape == y_ref.shape
+    assert _rel(y, y_ref) < 1e-5
+
+
 def test_conv2d_phasedx_full_vjp():
     """conv2d_tapdw with dx_impl=phase_split: primal + dW match lax conv
     exactly, dx to f32 tolerance."""
