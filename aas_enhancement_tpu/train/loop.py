@@ -85,7 +85,7 @@ def load_state(checkpoint_dir: str) -> tuple[TrainState, Config]:
     step = mgr.latest_step()
     if step is None:
         raise FileNotFoundError(f"no checkpoint found in {checkpoint_dir}")
-    raw = mgr.restore(step)
+    raw = ckpt.restore_rehosted(mgr, step)
     mgr.close()
 
     state = init_state(cfg, jax.random.key(0))

@@ -82,3 +82,27 @@ def test_resume_aas_clean_stream_lockstep(tmp_path, tmp_path_factory):
         np.testing.assert_allclose(r[s], f[s], rtol=1e-5, atol=1e-6,
                                    err_msg=f"D loss diverged at step {s} "
                                            "(clean stream out of lockstep)")
+
+
+def test_restore_rehosted_ignores_saved_shardings(tmp_path):
+    """restore_rehosted must open a checkpoint whose arrays were saved with
+    device shardings that don't exist at restore time (train on TPU ->
+    evaluate on CPU).  Simulated here by saving state replicated over the
+    8-device test mesh and restoring template-less onto one local device:
+    only shape/dtype metadata may be consulted, never the saved sharding."""
+    cfg = _cfg()
+    state = init_state(cfg, jax.random.key(0))
+    mesh = jax.sharding.Mesh(np.array(jax.devices()), ("dp",))
+    rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    sharded = jax.tree.map(
+        lambda x: jax.device_put(x, rep) if hasattr(x, "shape") else x, state)
+    mgr = ckpt.make_manager(str(tmp_path / "ck"))
+    ckpt.save(mgr, 3, {"step": sharded.step, "g_params": sharded.g_params})
+    mgr.wait_until_finished()
+    raw = ckpt.restore_rehosted(mgr, 3)
+    mgr.close()
+    assert int(raw["step"]) == int(state.step)
+    for a, b in zip(jax.tree.leaves(state.g_params),
+                    jax.tree.leaves(raw["g_params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert len(b.devices()) == 1
