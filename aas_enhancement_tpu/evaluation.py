@@ -107,6 +107,83 @@ def si_snr(est: np.ndarray, ref: np.ndarray) -> float:
                                  / (np.dot(e, e) + 1e-12)))
 
 
+def _third_octave_bands(fs: int, nfft: int, n_bands: int, f_min: float):
+    """[n_bands, nfft//2+1] one-zero matrix grouping FFT bins into 1/3-octave
+    bands with center frequencies f_min * 2^(k/3)."""
+    f = np.linspace(0.0, fs / 2.0, nfft // 2 + 1)
+    k = np.arange(n_bands)
+    f_lo = f_min * 2.0 ** ((k - 0.5) / 3.0)
+    f_hi = f_min * 2.0 ** ((k + 0.5) / 3.0)
+    bands = np.zeros((n_bands, len(f)))
+    for i in range(n_bands):
+        lo = int(np.argmin((f - f_lo[i]) ** 2))
+        hi = int(np.argmin((f - f_hi[i]) ** 2))
+        bands[i, lo:hi] = 1.0
+    return bands
+
+
+def stoi(est: np.ndarray, ref: np.ndarray, fs: int = 16000) -> float:
+    """Short-Time Objective Intelligibility (Taal et al. 2010), in [~0, 1].
+
+    Standard speech-enhancement intelligibility metric, reported alongside
+    SI-SNR and WER: correlation of short-time (384 ms) 1/3-octave-band
+    envelopes of the degraded/enhanced signal vs the clean reference at
+    10 kHz, after energy-based silent-frame removal and SDR clipping at
+    -15 dB.  Pure numpy/scipy host-side metric (like `si_snr`).
+    """
+    from scipy.signal import resample_poly
+
+    est = np.asarray(est, np.float64)
+    ref = np.asarray(ref, np.float64)
+    n = min(len(est), len(ref))
+    est, ref = est[:n], ref[:n]
+    fs_stoi, win, hop, nfft, n_bands, f_min, seg_n, beta = (
+        10000, 256, 128, 512, 15, 150.0, 30, -15.0)
+    if fs != fs_stoi:
+        g = np.gcd(int(fs), fs_stoi)
+        est = resample_poly(est, fs_stoi // g, fs // g)
+        ref = resample_poly(ref, fs_stoi // g, fs // g)
+
+    def frames(x):
+        m = 1 + max(0, (len(x) - win) // hop)
+        idx = np.arange(win)[None, :] + hop * np.arange(m)[:, None]
+        return x[idx] * np.hanning(win)[None, :]
+
+    xf, yf = frames(ref), frames(est)
+    if len(xf) < seg_n:
+        raise ValueError(f"stoi needs >= {seg_n * hop + win} samples at "
+                         f"{fs_stoi} Hz after resampling, got {len(ref)}")
+    # Silent-frame removal: keep frames within 40 dB of the loudest CLEAN
+    # frame; the same mask applies to both signals (paper sec. II-A).
+    e = 20.0 * np.log10(np.linalg.norm(xf, axis=1) + 1e-12)
+    keep = e > (e.max() - 40.0)
+    xf, yf = xf[keep], yf[keep]
+    if len(xf) < seg_n:
+        raise ValueError("stoi: fewer than one 384 ms segment of active "
+                         "speech after silent-frame removal")
+
+    bands = _third_octave_bands(fs_stoi, nfft, n_bands, f_min)
+    xb = np.sqrt(bands @ (np.abs(np.fft.rfft(xf, nfft, axis=1)) ** 2).T)
+    yb = np.sqrt(bands @ (np.abs(np.fft.rfft(yf, nfft, axis=1)) ** 2).T)
+
+    # Short-time segments of seg_n frames; per band-row: scale the degraded
+    # envelope to the clean energy, clip at -beta dB SDR, correlate.
+    corrs = []
+    for m in range(seg_n, xb.shape[1] + 1):
+        x_seg = xb[:, m - seg_n:m]
+        y_seg = yb[:, m - seg_n:m]
+        scale = (np.linalg.norm(x_seg, axis=1, keepdims=True)
+                 / (np.linalg.norm(y_seg, axis=1, keepdims=True) + 1e-12))
+        y_prime = np.minimum(y_seg * scale,
+                             x_seg * (1.0 + 10.0 ** (-beta / 20.0)))
+        x_c = x_seg - x_seg.mean(axis=1, keepdims=True)
+        y_c = y_prime - y_prime.mean(axis=1, keepdims=True)
+        denom = (np.linalg.norm(x_c, axis=1) * np.linalg.norm(y_c, axis=1)
+                 + 1e-12)
+        corrs.append(np.sum(x_c * y_c, axis=1) / denom)
+    return float(np.mean(corrs))
+
+
 def evaluate_si_snr(cfg: Config, noisy_manifest: str, clean_manifest: str,
                     g_params=None, streamed_manifest: str | None = None) -> dict:
     """Mean SI-SNR of noisy (and optionally enhanced / pre-enhanced) wavs vs
@@ -132,10 +209,19 @@ def evaluate_si_snr(cfg: Config, noisy_manifest: str, clean_manifest: str,
 
     sr = cfg.audio.sample_rate
     src = {"noisy": [], "enhanced": [], "streamed": []}
+    sto = {"noisy": [], "enhanced": [], "streamed": []}
+
+    def add(kind, wav, clean_wav):
+        src[kind].append(si_snr(wav, clean_wav))
+        try:
+            sto[kind].append(stoi(wav, clean_wav, fs=sr))
+        except ValueError:
+            pass  # too little active speech for one 384 ms STOI segment
+
     for i, ((npath, _), (cpath, _)) in enumerate(zip(noisy, clean)):
         nw, _ = read_wav(npath)
         cw, _ = read_wav(cpath)
-        src["noisy"].append(si_snr(nw, cw))
+        add("noisy", nw, cw)
         if enh_fn is not None:
             # Pad to whole-second buckets so the fused program compiles once
             # per bucket, not once per distinct utterance length.
@@ -145,12 +231,13 @@ def evaluate_si_snr(cfg: Config, noisy_manifest: str, clean_manifest: str,
             ew = np.asarray(enh_fn(
                 g_params, jnp.asarray(padded)[None],
                 jnp.asarray([len(nw)], jnp.int32))[0])[: len(nw)]
-            src["enhanced"].append(si_snr(ew, cw))
+            add("enhanced", ew, cw)
         if streamed is not None:
             sw, _ = read_wav(streamed[i][0])
-            src["streamed"].append(si_snr(sw, cw))
+            add("streamed", sw, cw)
 
     out = {f"si_snr_{k}": float(np.mean(v)) for k, v in src.items() if v}
+    out.update({f"stoi_{k}": float(np.mean(v)) for k, v in sto.items() if v})
     if "si_snr_enhanced" in out:
         out["si_snr_improvement"] = out["si_snr_enhanced"] - out["si_snr_noisy"]
     return out

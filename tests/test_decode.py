@@ -1,6 +1,7 @@
 """Greedy decode + WER (SURVEY.md §4 item 1: hand-built collapse/blank cases)."""
 
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from aas_enhancement_tpu.decode.greedy import decode_batch, greedy_decode
@@ -82,3 +83,29 @@ def test_si_snr_metric():
     # by float rounding, which scaling perturbs).
     assert abs(si_snr(0.3 * noisy, ref) - mid) < 1e-3
     assert si_snr(rng.standard_normal(16000), ref) < mid
+
+
+def test_stoi_metric():
+    """STOI: ~1 on identity, monotone in SNR, low for unrelated noise, and
+    invariant to a global gain on the degraded signal."""
+    from aas_enhancement_tpu.evaluation import stoi
+
+    rng = np.random.default_rng(3)
+    t = np.arange(32000) / 16000.0
+    # Speech-ish reference: AM-modulated harmonics (STOI needs envelope
+    # structure inside its 150 Hz-4.3 kHz third-octave bands).
+    env = 0.6 + 0.4 * np.sin(2 * np.pi * 4.0 * t)
+    ref = env * (np.sin(2 * np.pi * 220 * t) + 0.5 * np.sin(2 * np.pi * 880 * t)
+                 + 0.25 * np.sin(2 * np.pi * 1760 * t))
+
+    assert stoi(ref, ref) > 0.99
+    noise = rng.standard_normal(len(ref))
+    snr10 = stoi(ref + 0.1 * noise, ref)
+    snr0 = stoi(ref + 1.0 * noise, ref)
+    snr_neg = stoi(ref + 3.0 * noise, ref)
+    assert 1.0 > snr10 > snr0 > snr_neg
+    assert stoi(noise, ref) < 0.35
+    assert abs(stoi(0.25 * (ref + noise), ref) - stoi(ref + noise, ref)) < 1e-6
+
+    with pytest.raises(ValueError):
+        stoi(ref[:1000], ref[:1000])  # < one 384 ms active segment
