@@ -55,6 +55,9 @@ def main(argv=None) -> None:
                    help="validate every N steps (0 = each epoch end)")
     p.add_argument("--lr-anneal", type=float, default=None,
                    help="per-epoch LR divisor, e.g. 1.1 (deepspeech recipe)")
+    p.add_argument("--spec-augment", action="store_true",
+                   help="SpecAugment time+freq masking on AM-pretrain "
+                        "features (objective am)")
     p.add_argument("--sortagrad", action="store_true",
                    help="serve epoch 0 strictly shortest-first")
     p.add_argument("--streaming-finetune", action="store_true",
@@ -92,6 +95,8 @@ def main(argv=None) -> None:
         tr["lr_anneal"] = args.lr_anneal
     if args.sortagrad:
         tr["sortagrad"] = True
+    if args.spec_augment:
+        tr["spec_augment"] = True
     if args.streaming_finetune:
         tr["streaming_finetune"] = True
     if args.profile_dir:

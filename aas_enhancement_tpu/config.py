@@ -115,6 +115,14 @@ class TrainConfig:
                                  # profile_start (SURVEY.md §5 tracing)
     profile_start: int = 10      # trace begins past warmup compiles
     profile_steps: int = 3
+    spec_augment: bool = False   # SpecAugment (Park 2019) on AM-pretrain
+                                 # features: time+freq stripe masks, valid
+                                 # region only (beyond-reference regularizer
+                                 # for small corpora; eval never masks)
+    sa_time_masks: int = 2
+    sa_time_width: int = 30      # max frames per time stripe
+    sa_freq_masks: int = 2
+    sa_freq_width: int = 13      # max bins per frequency stripe
     streaming_finetune: bool = False  # train G through the block-bidirectional
                                  # streaming forward (models/enhancer.py::
                                  # blockwise_apply) so deployment-time chunked

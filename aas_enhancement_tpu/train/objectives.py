@@ -244,10 +244,18 @@ def discriminator_loss(cfg: Config, d_params, enh_log, enh_fl,
 
 
 def am_pretrain_loss(cfg: Config, am_params, batch,
-                     w_denom=None) -> tuple[jnp.ndarray, dict]:
-    """AM pre-training on (typically clean) speech (SURVEY.md §3.1)."""
+                     w_denom=None, rng=None) -> tuple[jnp.ndarray, dict]:
+    """AM pre-training on (typically clean) speech (SURVEY.md §3.1).
+
+    `rng` non-None enables SpecAugment (cfg.train.spec_augment) — train-step
+    only; the eval forward never passes one."""
     _, log_mag, fl = device_features(cfg, batch["wav"], batch["wav_lengths"])
     am_in = masked_normalize(log_mag, fl)
+    if rng is not None and cfg.train.spec_augment:
+        from aas_enhancement_tpu.ops.masking import spec_augment
+        t = cfg.train
+        am_in = spec_augment(rng, am_in, fl, t.sa_time_masks, t.sa_time_width,
+                             t.sa_freq_masks, t.sa_freq_width)
     logits, out_lengths = AcousticModel(cfg.am).apply(am_params, am_in, fl)
     logit_paddings = 1.0 - time_mask(out_lengths, logits.shape[1])
     loss = ctc_loss_mean(logits, logit_paddings, batch["labels"],

@@ -76,8 +76,13 @@ def make_train_step(cfg: Config) -> Callable:
     # the unaccumulated (k == 1) path, where sum(weights) is the denominator.
     def micro_grads(state: TrainState, mb, wd=None, cwd=None) -> tuple[dict, dict]:
         if objective == "am":
+            # Per-step SpecAugment key: fold the step counter into the state
+            # rng (no state mutation -> checkpoint resume stays exact).
+            rng = (jax.random.fold_in(state.rng, state.step)
+                   if cfg.train.spec_augment else None)
             (_, aux), g = jax.value_and_grad(
-                lambda p: obj.am_pretrain_loss(cfg, p, mb, w_denom=wd),
+                lambda p: obj.am_pretrain_loss(cfg, p, mb, w_denom=wd,
+                                               rng=rng),
                 has_aux=True)(state.am_params)
             return {"am": g}, aux
 

@@ -280,3 +280,40 @@ def test_int16_feed_trains_like_float32(corpus):
     for a, b in zip(losses["float32"], losses["int16"]):
         assert abs(a - b) / max(abs(a), 1e-6) < 5e-2, (losses["float32"],
                                                        losses["int16"])
+
+
+def test_spec_augment_op():
+    """spec_augment: zeros only inside <=n stripes of bounded width, stripes
+    live in the valid time region, deterministic per key, off == identity."""
+    import jax
+    import jax.numpy as jnp
+
+    from aas_enhancement_tpu.ops.masking import spec_augment
+
+    b, t, f = 3, 50, 20
+    x = jnp.ones((b, t, f))
+    lengths = jnp.array([50, 30, 10], jnp.int32)
+    key = jax.random.key(0)
+    y = spec_augment(key, x, lengths, n_time=2, time_width=7,
+                     n_freq=1, freq_width=4)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(
+        spec_augment(key, x, lengths, 2, 7, 1, 4)))  # deterministic
+
+    yn = np.asarray(y)
+    # Each row: zeroed time frames <= 2*7, zeroed freq bins <= 4.
+    for i, ln in enumerate([50, 30, 10]):
+        row = yn[i]
+        t_zero = np.where((row == 0).all(axis=1))[0]
+        f_zero = np.where((row == 0).all(axis=0))[0]
+        assert len(t_zero) <= 14 and len(f_zero) <= 4
+        assert all(z < ln for z in t_zero), "time stripe left the valid region"
+        assert np.all((row == 0) | (row == 1))
+    # Some masking actually happened somewhere in the batch.
+    assert (yn == 0).any()
+
+
+def test_am_pretrain_spec_augment_decreases(corpus):
+    cfg = _tiny_cfg("am", spec_augment=True, sa_time_width=5, sa_freq_width=5)
+    _, recs = train(cfg, corpus["clean"], max_steps=16)
+    first, last = _first_last(recs, "loss_ctc_am")
+    assert last < first, f"AM CTC loss (SpecAugment) did not decrease: {first} -> {last}"
