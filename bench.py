@@ -213,7 +213,33 @@ def bench_enhance(batch_size: int = 8, seconds: float = 8.0, iters: int = 10) ->
     return {"enhance_rtf": rtf, "enhance_xrt": 1.0 / rtf}
 
 
+def _probe_backend(timeout_s: int = 90) -> None:
+    """Fail fast if the device backend is unreachable.
+
+    The axon tunnel can go down mid-session, and then ANY backend touch
+    blocks forever (no exception) — a hung bench is worse than a failed one,
+    so probe with a tiny subprocess matmul under a hard timeout first.
+    """
+    import subprocess
+    import sys
+
+    code = ("import jax, jax.numpy as jnp;"
+            "x = jnp.ones((8, 8));"
+            "print(float((x @ x)[0, 0]))")
+    try:
+        proc = subprocess.run([sys.executable, "-c", code],
+                              capture_output=True, text=True,
+                              timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        raise SystemExit(f"bench: device backend unreachable (probe exceeded "
+                         f"{timeout_s}s — tunnel down?); not benchmarking")
+    if proc.returncode != 0:
+        raise SystemExit("bench: device probe failed:\n"
+                         + proc.stderr.strip()[-2000:])
+
+
 def main() -> None:
+    _probe_backend()
     train_m = bench_train_step()
     sustained_m = bench_sustained()
     bw_m = bench_h2d_bandwidth()
