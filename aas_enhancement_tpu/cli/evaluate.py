@@ -34,8 +34,17 @@ def main(argv=None) -> None:
     p.add_argument("--lm-beta", type=float, default=0.0,
                    help="insertion bonus (per symbol for char LMs, per "
                         "completed word for word LMs)")
+    p.add_argument("--word-lm",
+                   help="word n-gram LM json fused IN ADDITION to --lm "
+                        "(hybrid char+word shallow fusion, the measured-best "
+                        "decode mode)")
+    p.add_argument("--word-alpha", type=float, default=0.5,
+                   help="word-LM weight (hybrid fusion)")
+    p.add_argument("--word-beta", type=float, default=0.0,
+                   help="per-completed-word bonus (hybrid fusion)")
     p.add_argument("--tune-lm-manifest",
-                   help="dev manifest: grid-search lm alpha/beta on it first "
+                   help="dev manifest: grid-search lm alpha/beta (and "
+                        "word-LM weights when --word-lm is set) on it first "
                         "and use the best point (reports the grid)")
     p.add_argument("--clean-manifest",
                    help="paired clean manifest: also report SI-SNR (dB) of "
@@ -56,10 +65,19 @@ def main(argv=None) -> None:
     if not args.config:
         cfg = cfg.replace(am=am_cfg.am, audio=am_cfg.audio)
 
-    lm = None
+    lm, word_lm = None, None
     if args.lm:
         from aas_enhancement_tpu.decode.lm import load_lm
         lm = load_lm(args.lm)
+    if args.word_lm:
+        from aas_enhancement_tpu.decode.lm import load_lm
+        word_lm = load_lm(args.word_lm)
+        if not getattr(word_lm, "is_word_lm", False):
+            raise SystemExit(f"{args.word_lm}: --word-lm must be a WORD "
+                             "n-gram LM (train with cli.train_lm --word)")
+        if lm is None:
+            raise SystemExit("--word-lm fuses in addition to a char --lm; "
+                             "for word-LM-only fusion pass it as --lm")
 
     g_params = None
     if args.enhancer_checkpoint:
@@ -70,19 +88,33 @@ def main(argv=None) -> None:
         cfg = cfg.replace(enhancer=g_cfg.enhancer)
 
     lm_alpha, lm_beta, tune_result = args.lm_alpha, args.lm_beta, None
+    word_alpha, word_beta = args.word_alpha, args.word_beta
     if args.tune_lm_manifest:
         if lm is None:
             raise SystemExit("--tune-lm-manifest requires --lm")
-        from aas_enhancement_tpu.decode.tune import grid_search_lm
-        tune_result = grid_search_lm(cfg, am_params, args.tune_lm_manifest, lm,
-                                     g_params=g_params,
-                                     batch_size=args.batch_size,
-                                     beam_width=args.beam_width)
+        if word_lm is not None:
+            from aas_enhancement_tpu.decode.tune import grid_search_hybrid
+            tune_result = grid_search_hybrid(
+                cfg, am_params, args.tune_lm_manifest, lm, word_lm,
+                g_params=g_params, batch_size=args.batch_size,
+                beam_width=args.beam_width)
+            word_alpha = tune_result["word_alpha"]
+            word_beta = tune_result["word_beta"]
+        else:
+            from aas_enhancement_tpu.decode.tune import grid_search_lm
+            tune_result = grid_search_lm(cfg, am_params,
+                                         args.tune_lm_manifest, lm,
+                                         g_params=g_params,
+                                         batch_size=args.batch_size,
+                                         beam_width=args.beam_width)
         lm_alpha, lm_beta = tune_result["alpha"], tune_result["beta"]
 
     kw = dict(batch_size=args.batch_size, decoder=args.decoder,
               beam_width=args.beam_width, lm=lm, lm_alpha=lm_alpha,
               lm_beta=lm_beta)
+    if word_lm is not None:
+        kw.update(word_lm=word_lm, word_alpha=word_alpha,
+                  word_beta=word_beta)
     result = {"noisy": evaluate_wer(cfg, am_params, args.manifest, **kw)}
     if tune_result is not None:
         result["lm_tuning"] = tune_result

@@ -74,6 +74,21 @@ def _load_lib():
             ctypes.POINTER(ctypes.c_int), ctypes.c_int,
             ctypes.POINTER(ctypes.c_float),
         ]
+        lib.ctc_beam_search_hybrid.restype = ctypes.c_int
+        lib.ctc_beam_search_hybrid.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int,   # char table, order
+            ctypes.c_float, ctypes.c_float,                 # char alpha, beta
+            ctypes.c_int,                                   # space_id
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_float,                                 # oov_logp
+            ctypes.c_float, ctypes.c_float,                 # word alpha, beta
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float),
+        ]
         _lib = lib
     except (OSError, AttributeError):
         _lib = None
@@ -84,8 +99,13 @@ def beam_search_native(log_probs: np.ndarray, beam_width: int = 32,
                        blank: int = BLANK_ID, prune_k: int = 16,
                        lm_table: np.ndarray | None = None, lm_order: int = 0,
                        lm_alpha: float = 0.0, lm_beta: float = 0.0,
-                       word_ex: dict | None = None):
-    """[T, V] log-probs -> (ids list, score) via the C++ decoder, or None."""
+                       word_ex: dict | None = None,
+                       word_alpha: float = 0.0, word_beta: float = 0.0):
+    """[T, V] log-probs -> (ids list, score) via the C++ decoder, or None.
+
+    lm_table+word_ex together run HYBRID fusion (char per symbol + word per
+    completed word, separate weights); word_ex alone takes its weights from
+    lm_alpha/lm_beta (back-compat single-LM interface)."""
     lib = _load_lib()
     if lib is None:
         return None
@@ -94,7 +114,29 @@ def beam_search_native(log_probs: np.ndarray, beam_width: int = 32,
     max_out = t + 1
     out = np.zeros(max_out, np.int32)
     score = ctypes.c_float(0.0)
-    if word_ex is not None:
+    if word_ex is not None and lm_table is not None:
+        wids = np.ascontiguousarray(word_ex["word_ids"], np.int32)
+        offs = np.ascontiguousarray(word_ex["word_offsets"], np.int32)
+        wtable = np.ascontiguousarray(word_ex["table"], np.float32)
+        ctable = np.ascontiguousarray(lm_table, dtype=np.float32)
+        if ctable.size != v ** lm_order:
+            raise ValueError(f"LM table has {ctable.size} entries, expected "
+                             f"{v}^{lm_order} for vocab {v}")
+        n = lib.ctc_beam_search_hybrid(
+            lp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), t, v,
+            beam_width, blank, prune_k,
+            ctable.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), lm_order,
+            lm_alpha, lm_beta, word_ex["space_id"],
+            wids.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            word_ex["n_words"],
+            wtable.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            word_ex["oov_logp"], word_alpha, word_beta,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), max_out,
+            ctypes.byref(score))
+    elif word_ex is not None:
+        if word_alpha == 0.0 and lm_alpha != 0.0:   # back-compat single-LM
+            word_alpha, word_beta = lm_alpha, lm_beta
         wids = np.ascontiguousarray(word_ex["word_ids"], np.int32)
         offs = np.ascontiguousarray(word_ex["word_offsets"], np.int32)
         table = np.ascontiguousarray(word_ex["table"], np.float32)
@@ -105,7 +147,7 @@ def beam_search_native(log_probs: np.ndarray, beam_width: int = 32,
             offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
             word_ex["n_words"],
             table.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            word_ex["oov_logp"], lm_alpha, lm_beta,
+            word_ex["oov_logp"], word_alpha, word_beta,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), max_out,
             ctypes.byref(score))
     elif lm_table is not None:
@@ -174,28 +216,42 @@ def beam_search_python(log_probs: np.ndarray, beam_width: int = 32,
                        blank: int = BLANK_ID, prune_k: int = 16,
                        lm_table: np.ndarray | None = None, lm_order: int = 0,
                        lm_alpha: float = 0.0, lm_beta: float = 0.0,
-                       word_ex: dict | None = None):
+                       word_ex: dict | None = None,
+                       word_alpha: float = 0.0, word_beta: float = 0.0):
     """Pure-python prefix beam search (reference implementation / fallback).
 
     LM shallow fusion matches the native decoder exactly.  Char LM
-    (lm_table): alpha*lm[ctx, c] + beta applies once per symbol appended.
-    Word LM (word_ex, from WordNGramLM.export_native): alpha*logp(word|prev)
-    + beta applies once per COMPLETED word — when a space is appended, and to
-    the trailing word when ranking final beams (the KenLM-fusion contract)."""
+    (lm_table): lm_alpha*lm[ctx, c] + lm_beta applies once per symbol
+    appended.  Word LM (word_ex, from WordNGramLM.export_native):
+    logp(word|prev) + bonus applies once per COMPLETED word — when a space is
+    appended, and to the trailing word when ranking final beams (the
+    KenLM-fusion contract); its weights are word_alpha/word_beta when BOTH
+    LMs are active (hybrid fusion), or lm_alpha/lm_beta when the word LM is
+    alone (back-compat single-LM interface)."""
     t, v = log_probs.shape
     beams: dict[tuple, list] = {(): [0.0, -math.inf]}  # prefix -> [p_b, p_nb]
 
     if word_ex is not None:
         space = word_ex["space_id"]
-
-        def bonus(prefix, c):
-            if c != space:
-                return 0.0
-            return word_bonus(prefix, lm_alpha, lm_beta, word_ex)
-    elif lm_table is not None:
+        if lm_table is None and word_alpha == 0.0 and lm_alpha != 0.0:
+            word_alpha, word_beta = lm_alpha, lm_beta
+    if lm_table is not None:
         from aas_enhancement_tpu.decode.lm import context_index
         lm_table = np.asarray(lm_table, np.float32).reshape(-1, v)
 
+    if word_ex is not None and lm_table is not None:
+        def bonus(prefix, c):
+            s = lm_alpha * float(
+                lm_table[context_index(prefix, lm_order, v), c]) + lm_beta
+            if c == space:
+                s += word_bonus(prefix, word_alpha, word_beta, word_ex)
+            return s
+    elif word_ex is not None:
+        def bonus(prefix, c):
+            if c != space:
+                return 0.0
+            return word_bonus(prefix, word_alpha, word_beta, word_ex)
+    elif lm_table is not None:
         def bonus(prefix, c):
             return lm_alpha * float(
                 lm_table[context_index(prefix, lm_order, v), c]) + lm_beta
@@ -241,7 +297,7 @@ def beam_search_python(log_probs: np.ndarray, beam_width: int = 32,
         # score — otherwise the last word of every sentence escapes the LM.
         def final_score(kv):
             return (lse(kv[1][0], kv[1][1])
-                    + word_bonus(kv[0], lm_alpha, lm_beta, word_ex))
+                    + word_bonus(kv[0], word_alpha, word_beta, word_ex))
         best, _ = max(beams.items(), key=final_score)
         return list(best), final_score((best, beams[best]))
     best, (p_b, p_nb) = max(beams.items(), key=lambda kv: lse(kv[1][0], kv[1][1]))
@@ -251,13 +307,18 @@ def beam_search_python(log_probs: np.ndarray, beam_width: int = 32,
 def beam_decode(log_probs: np.ndarray, lengths: np.ndarray | None = None,
                 beam_width: int = 32, labels: str = LABELS,
                 prune_k: int = 16, lm=None, lm_alpha: float = 0.0,
-                lm_beta: float = 0.0) -> list[str]:
+                lm_beta: float = 0.0, word_lm=None,
+                word_alpha: float = 0.0, word_beta: float = 0.0) -> list[str]:
     """Batch [B, T, V] log-probs (+ valid lengths) -> decoded strings.
 
     Uses the native C++ decoder when available, python fallback otherwise.
     `lm` is a decode.lm.CharNGramLM (or a prebuilt dense table) fused
     per-symbol, or a decode.lm.WordNGramLM fused per completed word (the
     reference ctcdecode+KenLM contract); weight lm_alpha, bonus lm_beta.
+    `word_lm` (a WordNGramLM, weights word_alpha/word_beta) may be given IN
+    ADDITION to a char `lm` for HYBRID fusion — the measured-best decode mode
+    (BASELINE.md round 3): the char LM shapes every symbol, the word LM
+    scores completed words.
     """
     if log_probs.ndim == 2:
         log_probs = log_probs[None]
@@ -265,14 +326,23 @@ def beam_decode(log_probs: np.ndarray, lengths: np.ndarray | None = None,
     if lm is not None and lm_alpha != 0.0:
         if getattr(lm, "is_word_lm", False):
             word_ex = lm.export_native()
+            word_alpha, word_beta = lm_alpha, lm_beta
         elif hasattr(lm, "dense_table"):
             lm_table, lm_order = lm.dense_table(), lm.order
         else:
             lm_table = np.asarray(lm, np.float32)
             v = log_probs.shape[-1]
             lm_order = int(round(math.log(lm_table.size) / math.log(v)))
+    if word_lm is not None and word_alpha != 0.0:
+        if word_ex is not None:
+            raise ValueError("two word LMs given (lm is a WordNGramLM and "
+                             "word_lm is set) — pass a char LM as `lm`")
+        if not getattr(word_lm, "is_word_lm", False):
+            raise ValueError("word_lm must be a decode.lm.WordNGramLM")
+        word_ex = word_lm.export_native()
     lm_kw = dict(lm_table=lm_table, lm_order=lm_order,
-                 lm_alpha=lm_alpha, lm_beta=lm_beta, word_ex=word_ex)
+                 lm_alpha=lm_alpha, lm_beta=lm_beta, word_ex=word_ex,
+                 word_alpha=word_alpha, word_beta=word_beta)
     out = []
     for b in range(log_probs.shape[0]):
         t = int(lengths[b]) if lengths is not None else log_probs.shape[1]

@@ -81,3 +81,57 @@ def grid_search_lm(cfg: Config, am_params, dev_manifest, lm,
     return {"alpha": best[0], "beta": best[1], "wer": best[2],
             "wer_no_lm": wer_no_lm, "grid": grid,
             "utterances": len(refs)}
+
+
+def wer_at_hybrid(refs, lps, char_lm, ca: float, cb: float, word_lm,
+                  wa: float, wb: float, beam_width: int = 16) -> float:
+    hyps = [beam_decode(lp[None], None, beam_width=beam_width, lm=char_lm,
+                        lm_alpha=ca, lm_beta=cb, word_lm=word_lm,
+                        word_alpha=wa, word_beta=wb)[0] for lp in lps]
+    return corpus_wer(refs, hyps)
+
+
+def grid_search_hybrid(cfg: Config, am_params, dev_manifest, char_lm, word_lm,
+                       alphas=(0.0, 0.3, 0.6, 1.0, 1.5),
+                       betas=(-0.5, 0.0, 0.5, 1.0),
+                       word_alphas=(0.0, 0.3, 0.6, 1.0),
+                       word_betas=(0.0, 0.5, 1.0),
+                       g_params=None, batch_size: int = 8,
+                       beam_width: int = 16) -> dict:
+    """Tune HYBRID char+word fusion by coordinate descent on a dev split:
+    first the char grid alone (exactly grid_search_lm's search), then the
+    word grid with the char point held fixed.  word_alpha=0 is in the grid,
+    so the hybrid point never dev-scores worse than char-only.
+
+    -> {"alpha","beta" (char), "word_alpha","word_beta", "wer",
+        "wer_char_only", "wer_no_lm", "grid": [...]} — one AM(+G) forward
+    total; every cell is a host re-decode of the cached log-probs."""
+    refs, lps = cache_log_probs(cfg, am_params, dev_manifest,
+                                g_params=g_params, batch_size=batch_size)
+    grid = []
+    wer_no_lm = wer_at(refs, lps, None, 0.0, 0.0, beam_width)
+    grid.append({"alpha": 0.0, "beta": 0.0, "wer": wer_no_lm})
+    best_c = (0.0, 0.0, wer_no_lm)
+    for a in alphas:
+        if a == 0.0:
+            continue
+        for b in betas:
+            w = wer_at(refs, lps, char_lm, a, b, beam_width)
+            grid.append({"alpha": a, "beta": b, "wer": w})
+            if w < best_c[2]:
+                best_c = (a, b, w)
+    ca, cb, wer_char = best_c
+    best = (0.0, 0.0, wer_char)
+    for wa in word_alphas:
+        if wa == 0.0:
+            continue
+        for wb in word_betas:
+            w = wer_at_hybrid(refs, lps, char_lm, ca, cb, word_lm, wa, wb,
+                              beam_width)
+            grid.append({"alpha": ca, "beta": cb, "word_alpha": wa,
+                         "word_beta": wb, "wer": w})
+            if w < best[2]:
+                best = (wa, wb, w)
+    return {"alpha": ca, "beta": cb, "word_alpha": best[0],
+            "word_beta": best[1], "wer": best[2], "wer_char_only": wer_char,
+            "wer_no_lm": wer_no_lm, "grid": grid, "utterances": len(refs)}

@@ -57,7 +57,8 @@ def eval_dataset(cfg: Config, manifest: str) -> AudioDataset:
 def evaluate_wer(cfg: Config, am_params, manifest, g_params=None,
                  batch_size: int = 4, decoder: str = "greedy",
                  beam_width: int = 32, lm=None, lm_alpha: float = 0.0,
-                 lm_beta: float = 0.0, forward=None) -> dict:
+                 lm_beta: float = 0.0, word_lm=None, word_alpha: float = 0.0,
+                 word_beta: float = 0.0, forward=None) -> dict:
     """WER over a manifest (greedy or native beam decode); enhances first if
     g_params given.  `manifest` may be a path or a prebuilt AudioDataset;
     `forward` may be a prebuilt make_eval_forward result (reused across calls)."""
@@ -76,7 +77,9 @@ def evaluate_wer(cfg: Config, am_params, manifest, g_params=None,
             log_probs = np.asarray(jax.nn.log_softmax(logits, axis=-1))
             lens = np.sum(np.asarray(pads) < 0.5, axis=1).astype(np.int32)
             hyps.extend(beam_decode(log_probs, lens, beam_width=beam_width,
-                                    lm=lm, lm_alpha=lm_alpha, lm_beta=lm_beta)[:k])
+                                    lm=lm, lm_alpha=lm_alpha, lm_beta=lm_beta,
+                                    word_lm=word_lm, word_alpha=word_alpha,
+                                    word_beta=word_beta)[:k])
         else:
             hyps.extend(decode_batch(logits, pads)[:k])
         for row, pad_row in zip(batch.labels[:k], batch.label_paddings[:k]):

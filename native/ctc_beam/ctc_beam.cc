@@ -140,10 +140,14 @@ float WordBonus(const WordLm& lm, const std::string& prefix, float alpha,
   return alpha * lm.table[static_cast<int64_t>(row) * lm.n + wi] + beta;
 }
 
+// alpha/beta weight the char-table LM; w_alpha/w_beta the word LM.  Both LMs
+// may be active at once (hybrid shallow fusion): the char LM shapes every
+// appended symbol, the word LM scores each completed word — additive bonuses.
 int BeamSearchImpl(const float* log_probs, int t, int v, int beam_width,
                    int blank, int prune_k, const float* lm_table, int lm_order,
                    float alpha, float beta, int* out_ids, int max_out,
-                   float* out_score, const WordLm* wlm = nullptr) {
+                   float* out_score, const WordLm* wlm = nullptr,
+                   float w_alpha = 0.0f, float w_beta = 0.0f) {
   if (t < 0 || v <= 0 || beam_width <= 0 || blank < 0 || blank >= v) return -1;
   if (lm_table != nullptr && lm_order < 1) return -1;
   if (wlm != nullptr && (wlm->n <= 0 || wlm->space < 0 || wlm->space >= v))
@@ -191,11 +195,9 @@ int BeamSearchImpl(const float* log_probs, int t, int v, int beam_width,
         // applies only when the appended symbol is the space delimiter
         // (completing the prefix's trailing word).
         float lm_bonus = 0.0f;
-        if (wlm != nullptr) {
-          if (c == wlm->space) lm_bonus = WordBonus(*wlm, prefix, alpha, beta);
-        } else if (lm_table) {
-          lm_bonus = alpha * lm_table[ctx + c] + beta;
-        }
+        if (lm_table) lm_bonus += alpha * lm_table[ctx + c] + beta;
+        if (wlm != nullptr && c == wlm->space)
+          lm_bonus += WordBonus(*wlm, prefix, w_alpha, w_beta);
         if (c == last) {
           // Repeat symbol: staying in the same prefix needs a non-blank tail;
           // extending needs a blank separator.
@@ -241,7 +243,7 @@ int BeamSearchImpl(const float* log_probs, int t, int v, int beam_width,
   float best_score = kNegInf;
   for (const auto& [prefix, hyp] : beams) {
     float s = hyp.Total();
-    if (wlm != nullptr) s += WordBonus(*wlm, prefix, alpha, beta);
+    if (wlm != nullptr) s += WordBonus(*wlm, prefix, w_alpha, w_beta);
     if (s > best_score) {
       best_score = s;
       best = &prefix;
@@ -285,6 +287,21 @@ extern "C" int ctc_beam_search_wlm(const float* log_probs, int t, int v,
                                    int max_out, float* out_score) {
   WordLm wlm{space_id, word_ids, word_offsets, n_words, table, oov_logp};
   return BeamSearchImpl(log_probs, t, v, beam_width, blank, prune_k,
-                        /*lm_table=*/nullptr, /*lm_order=*/0, alpha, beta,
-                        out_ids, max_out, out_score, &wlm);
+                        /*lm_table=*/nullptr, /*lm_order=*/0, 0.0f, 0.0f,
+                        out_ids, max_out, out_score, &wlm, alpha, beta);
+}
+
+// Hybrid shallow fusion: char n-gram table (alpha/beta, once per appended
+// symbol) PLUS word LM (w_alpha/w_beta, once per completed word) — the
+// measured-best decode mode (BASELINE.md round-3 hybrid fusion).
+extern "C" int ctc_beam_search_hybrid(
+    const float* log_probs, int t, int v, int beam_width, int blank,
+    int prune_k, const float* lm_table, int lm_order, float alpha, float beta,
+    int space_id, const int32_t* word_ids, const int32_t* word_offsets,
+    int n_words, const float* table, float oov_logp, float w_alpha,
+    float w_beta, int* out_ids, int max_out, float* out_score) {
+  WordLm wlm{space_id, word_ids, word_offsets, n_words, table, oov_logp};
+  return BeamSearchImpl(log_probs, t, v, beam_width, blank, prune_k, lm_table,
+                        lm_order, alpha, beta, out_ids, max_out, out_score,
+                        &wlm, w_alpha, w_beta);
 }

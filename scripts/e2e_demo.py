@@ -166,6 +166,21 @@ def main():
     # Back-compat alias: the word LM is the headline ctcdecode-parity number.
     result["wer_enhanced_test_beam_lm"] = result["wer_enhanced_test_beam_wlm"]
 
+    # Hybrid char+word fusion (beyond ctcdecode: both LMs at once, round-3
+    # measured-best) — coordinate-descent tune on dev, apply to test.
+    from aas_enhancement_tpu.decode.tune import grid_search_hybrid
+    hy = grid_search_hybrid(cfg_aas, am_params, dev["noisy"], clm, wlm,
+                            g_params=aas_state.g_params,
+                            batch_size=args.batch_size, beam_width=16)
+    result["lm_hybrid"] = {k: hy[k] for k in
+                           ("alpha", "beta", "word_alpha", "word_beta")}
+    result["wer_dev_beam_hybrid"] = hy["wer"]
+    result["wer_enhanced_test_beam_hybrid"] = evaluate_wer(
+        cfg_aas, am_params, test["noisy"], g_params=aas_state.g_params,
+        batch_size=args.batch_size, decoder="beam", beam_width=16,
+        lm=clm, lm_alpha=hy["alpha"], lm_beta=hy["beta"], word_lm=wlm,
+        word_alpha=hy["word_alpha"], word_beta=hy["word_beta"])["wer"]
+
     # Train-split numbers too (memorization-vs-generalization diagnostic).
     noisy_train = evaluate_wer(cfg_am, am_params, manifests["noisy"],
                                batch_size=args.batch_size)

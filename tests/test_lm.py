@@ -257,3 +257,65 @@ def test_grid_search_lm_picks_winning_point(tmp_path, wlm):
             w_best = w if w_best is None else min(w_best, w)
     assert w_no > 0.0            # the ambiguous final word is wrong without LM
     assert w_best == 0.0         # fusion rescues it somewhere on the grid
+
+
+# ------------------------------------------------------------ hybrid fusion
+# (char LM per symbol + word LM per completed word, separate weights — the
+# measured-best decode mode, BASELINE.md round 3)
+
+def test_hybrid_native_matches_python(lm, wlm):
+    rng = np.random.default_rng(7)
+    v = len(LABELS)
+    ex, ct = wlm.export_native(), lm.dense_table()
+    for trial in range(4):
+        logits = rng.standard_normal((24, v)).astype(np.float32) * 2.0
+        logits[:, 1] += 1.0
+        lp = logits - np.log(np.sum(np.exp(logits), axis=1, keepdims=True))
+        kw = dict(beam_width=12, prune_k=8, lm_table=ct, lm_order=lm.order,
+                  lm_alpha=0.8, lm_beta=0.4, word_ex=ex,
+                  word_alpha=0.6, word_beta=0.2)
+        nat = beam_search_native(lp, **kw)
+        assert nat is not None, "native decoder unavailable"
+        py = beam_search_python(lp, **kw)
+        assert nat[0] == py[0], f"trial {trial}: {nat} vs {py}"
+        assert nat[1] == pytest.approx(py[1], rel=1e-3, abs=5e-3)
+
+
+def test_hybrid_reduces_to_single_lm(lm, wlm):
+    """Zero word weight == char-only; zero char weight == word-only
+    (python fallback and native both)."""
+    rng = np.random.default_rng(9)
+    v = len(LABELS)
+    logits = rng.standard_normal((20, v)).astype(np.float32) * 2.0
+    lp = logits - np.log(np.sum(np.exp(logits), axis=1, keepdims=True))
+    ex, ct = wlm.export_native(), lm.dense_table()
+    for search in (beam_search_python, beam_search_native):
+        char_only = search(lp, 8, prune_k=8, lm_table=ct, lm_order=lm.order,
+                           lm_alpha=0.9, lm_beta=0.3)
+        hybrid_c = search(lp, 8, prune_k=8, lm_table=ct, lm_order=lm.order,
+                          lm_alpha=0.9, lm_beta=0.3, word_ex=ex,
+                          word_alpha=0.0, word_beta=0.0)
+        assert char_only[0] == hybrid_c[0]
+        assert char_only[1] == pytest.approx(hybrid_c[1], abs=1e-4)
+        word_only = search(lp, 8, prune_k=8, word_ex=ex,
+                           lm_alpha=0.7, lm_beta=0.2)          # back-compat
+        word_kw = search(lp, 8, prune_k=8, word_ex=ex,
+                         word_alpha=0.7, word_beta=0.2)        # explicit
+        assert word_only[0] == word_kw[0]
+        assert word_only[1] == pytest.approx(word_kw[1], abs=1e-4)
+
+
+def test_hybrid_beam_decode_rescues(lm, wlm):
+    """beam_decode(lm=char, word_lm=word): the word LM rescues the final word
+    while the char LM is active (both fused)."""
+    lp = _word_ambiguous_logits()
+    out = beam_decode(lp[None], beam_width=8, lm=lm, lm_alpha=0.2,
+                      lm_beta=0.0, word_lm=wlm, word_alpha=1.0)[0]
+    assert out == "THE CAT", f"hybrid fusion failed: {out!r}"
+
+
+def test_hybrid_rejects_two_word_lms(wlm):
+    lp = _word_ambiguous_logits()
+    with pytest.raises(ValueError):
+        beam_decode(lp[None], lm=wlm, lm_alpha=0.5, word_lm=wlm,
+                    word_alpha=0.5)
