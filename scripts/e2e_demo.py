@@ -150,7 +150,7 @@ def main():
     from aas_enhancement_tpu.decode.lm import CharNGramLM, WordNGramLM
     from aas_enhancement_tpu.decode.tune import grid_search_lm
     wlm = WordNGramLM.from_manifests([manifests["noisy"]])
-    clm = CharNGramLM.from_manifests([manifests["noisy"]], order=3)
+    clm = CharNGramLM.from_manifests([manifests["noisy"]], order=4)  # order 4 beats 3 on this lexicon (hybrid_fusion_r3.json)
     for tag, lm in (("wlm", wlm), ("clm", clm)):
         tuned = grid_search_lm(cfg_aas, am_params, dev["noisy"], lm,
                                g_params=aas_state.g_params,
