@@ -44,6 +44,9 @@ def main():
     p.add_argument("--lambda-adv", type=float, default=0.2)
     p.add_argument("--snr-low", type=float, default=0.0)
     p.add_argument("--snr-high", type=float, default=10.0)
+    p.add_argument("--spec-augment", action="store_true",
+                   help="SpecAugment during AM pre-training (regularizer for "
+                        "the small-corpus train->held-out gap)")
     p.add_argument("--skip-streaming", action="store_true")
     p.add_argument("--out", default="")
     args = p.parse_args()
@@ -95,6 +98,11 @@ def main():
 
     # --- 1. AM pre-training on clean train speech (SURVEY.md §3.1)
     cfg_am = cfg_for("am")
+    if args.spec_augment:
+        import dataclasses
+        cfg_am = cfg_am.replace(
+            train=dataclasses.replace(cfg_am.train, spec_augment=True))
+        result["spec_augment"] = True
     am_state, recs = train(cfg_am, manifests["clean"], max_steps=args.am_steps)
     result["am_ctc_first"] = recs[0]["loss_ctc_am"]
     result["am_ctc_last"] = recs[-1]["loss_ctc_am"]
