@@ -152,6 +152,10 @@ class DataConfig:
     min_duration: float = 0.3
     num_buckets: int = 4         # padded time-shape buckets (bounds jit recompiles)
     augment: bool = False
+    augment_speed: bool = True   # speed perturb is label-DESTRUCTIVE on the
+                                 # formant-coded synthetic corpus (BASELINE.md
+                                 # screening table) — disable it there
+    augment_gain: bool = True
     use_grain: bool = False      # multi-process decode workers (data/grain_loader.py)
     grain_workers: int = 2
     noise_dir: str = ""

@@ -68,7 +68,9 @@ class AudioDataset:
                 # identical augmented audio for the same item in the same epoch.
                 rng = np.random.default_rng((0xA46, epoch, idx))
                 return augment_wav(w, rng, noise=noise, noise_prob=data.noise_prob,
-                                   snr_range=tuple(data.noise_snr_range))
+                                   snr_range=tuple(data.noise_snr_range),
+                                   speed=data.augment_speed,
+                                   gain=data.augment_gain)
 
             self.augment = _aug
         entries = read_manifest(manifest_path)

@@ -44,3 +44,31 @@ def test_augment_pipeline(tmp_path):
     y = augment_wav(x, rng, noise=inj, noise_prob=1.0)
     assert np.all(np.isfinite(y))
     assert float(np.max(np.abs(y))) <= 1.0
+
+
+def test_augment_speed_gain_knobs(tmp_path):
+    """DataConfig.augment_speed/_gain gate the individual perturbations:
+    with both off (and no noise_dir) the augmented item is bit-identical to
+    the raw decode."""
+    import dataclasses
+
+    from aas_enhancement_tpu.config import AudioConfig, DataConfig
+    from aas_enhancement_tpu.data.dataset import AudioDataset
+    from aas_enhancement_tpu.data.synthetic import generate_corpus
+
+    m = generate_corpus(str(tmp_path), n_utts=2, seed=3, vocab_chars=4)
+    base = DataConfig(num_buckets=1)
+    ds_raw = AudioDataset(m["clean"], AudioConfig(), base)
+    ds_off = AudioDataset(m["clean"], AudioConfig(),
+                          dataclasses.replace(base, augment=True,
+                                              augment_speed=False,
+                                              augment_gain=False))
+    ds_gain = AudioDataset(m["clean"], AudioConfig(),
+                           dataclasses.replace(base, augment=True,
+                                               augment_speed=False))
+    raw = next(iter(ds_raw.batches(2, seed=0, epoch=0)))
+    off = next(iter(ds_off.batches(2, seed=0, epoch=0)))
+    gain = next(iter(ds_gain.batches(2, seed=0, epoch=0)))
+    np.testing.assert_array_equal(raw.wav, off.wav)
+    np.testing.assert_array_equal(raw.wav_lengths, gain.wav_lengths)  # no speed
+    assert not np.array_equal(raw.wav, gain.wav)                      # gain on
