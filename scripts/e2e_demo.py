@@ -183,9 +183,11 @@ def main():
     result["lm_hybrid"] = {k: hy[k] for k in
                            ("alpha", "beta", "word_alpha", "word_beta")}
     result["wer_dev_beam_hybrid"] = hy["wer"]
+    # Test leg at beam 64: the measured-best decode configuration
+    # (BASELINE.md beam-width sweep); the grid stays at 16 for cost.
     result["wer_enhanced_test_beam_hybrid"] = evaluate_wer(
         cfg_aas, am_params, test["noisy"], g_params=aas_state.g_params,
-        batch_size=args.batch_size, decoder="beam", beam_width=16,
+        batch_size=args.batch_size, decoder="beam", beam_width=64,
         lm=clm, lm_alpha=hy["alpha"], lm_beta=hy["beta"], word_lm=wlm,
         word_alpha=hy["word_alpha"], word_beta=hy["word_beta"])["wer"]
 
