@@ -95,6 +95,15 @@ def main():
     result = {"n_utts": args.n_utts, "n_test_utts": args.n_test_utts,
               "am_steps": args.am_steps, "aas_steps": args.aas_steps}
     t0 = time.time()
+    out_path = args.out or os.path.join(wd, "result.json")
+
+    def save():
+        # Incremental: long runs ride a tunnel that can drop mid-stage — keep
+        # every completed stage's numbers on disk (partial JSON carries a
+        # wall_minutes_so_far marker until the final dump removes it).
+        result["wall_minutes_so_far"] = round((time.time() - t0) / 60.0, 1)
+        with open(out_path, "w") as f:
+            json.dump(result, f, indent=2)
 
     # --- 1. AM pre-training on clean train speech (SURVEY.md §3.1)
     cfg_am = cfg_for("am")
@@ -107,6 +116,7 @@ def main():
     result["am_ctc_first"] = recs[0]["loss_ctc_am"]
     result["am_ctc_last"] = recs[-1]["loss_ctc_am"]
     am_params = am_state.am_params
+    save()
 
     # --- 2. WER on HELD-OUT clean and noisy input
     clean_wer = evaluate_wer(cfg_am, am_params, test["clean"],
@@ -117,6 +127,7 @@ def main():
     result["wer_noisy_test"] = noisy_wer["wer"]
     result["sample"] = {"ref": noisy_wer["sample_ref"],
                         "hyp_noisy": noisy_wer["sample_hyp"]}
+    save()
 
     # --- 3. Full AAS training (config 5) on the TRAIN split only
     cfg_aas = cfg_for("aas")
@@ -125,6 +136,7 @@ def main():
                             max_steps=args.aas_steps, state=aas_state)
     result["aas_ctc_first"] = recs[0]["loss_ctc"]
     result["aas_ctc_last"] = recs[-1]["loss_ctc"]
+    save()
 
     # Persist the trained pipeline for downstream tooling (the streaming
     # chunk/lookahead/history sweep reuses it: scripts/streaming_sweep.py).
@@ -150,6 +162,7 @@ def main():
     result["wer_enhanced_test"] = enh_wer["wer"]
     result["wer_delta_test"] = enh_wer["wer"] - noisy_wer["wer"]
     result["sample"]["hyp_enhanced"] = enh_wer["sample_hyp"]
+    save()
 
     # --- 4b. Beam + LM decode on the held-out split (the reference's
     # ctcdecode beam+KenLM eval mode).  LMs train on TRAIN transcripts only;
@@ -173,6 +186,7 @@ def main():
             lm=lm, lm_alpha=tuned["alpha"], lm_beta=tuned["beta"])["wer"]
     # Back-compat alias: the word LM is the headline ctcdecode-parity number.
     result["wer_enhanced_test_beam_lm"] = result["wer_enhanced_test_beam_wlm"]
+    save()
 
     # Hybrid char+word fusion (beyond ctcdecode: both LMs at once, round-3
     # measured-best) — coordinate-descent tune on dev, apply to test.
@@ -190,6 +204,7 @@ def main():
         batch_size=args.batch_size, decoder="beam", beam_width=64,
         lm=clm, lm_alpha=hy["alpha"], lm_beta=hy["beta"], word_lm=wlm,
         word_alpha=hy["word_alpha"], word_beta=hy["word_beta"])["wer"]
+    save()
 
     # Train-split numbers too (memorization-vs-generalization diagnostic).
     noisy_train = evaluate_wer(cfg_am, am_params, manifests["noisy"],
@@ -199,6 +214,7 @@ def main():
                              batch_size=args.batch_size)
     result["wer_noisy_train"] = noisy_train["wer"]
     result["wer_enhanced_train"] = enh_train["wer"]
+    save()
 
     # --- 5. Streamed enhancement of the held-out split with the trained G:
     # chunked causal-ish enhancement must not cost WER vs offline.
@@ -223,6 +239,7 @@ def main():
                                   batch_size=args.batch_size)
         result["wer_streamed_test"] = stream_wer["wer"]
         result["streaming_penalty"] = stream_wer["wer"] - enh_wer["wer"]
+        save()
 
         # --- 6. Signal-fidelity metrics (SI-SNR, dB) on the held-out split.
         from aas_enhancement_tpu.evaluation import evaluate_si_snr
@@ -230,10 +247,9 @@ def main():
                                       g_params=aas_state.g_params,
                                       streamed_manifest=smanifest))
 
+    result.pop("wall_minutes_so_far", None)
     result["wall_minutes"] = round((time.time() - t0) / 60.0, 1)
-
-    out = args.out or os.path.join(wd, "result.json")
-    with open(out, "w") as f:
+    with open(out_path, "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
 
