@@ -80,8 +80,13 @@ def make_streaming_enhance_fn(cfg: Config):
     re-normalizing every window from scratch.
 
     fn(params, wav [B, n], lengths [B], stats_start, stats_end, run_sum,
-       run_sumsq, run_count) -> (enhanced [B, n], block_sum, block_sumsq,
-       block_count)
+       run_sumsq, run_count) -> (enhanced [B, n], block_sum [B],
+       block_sumsq [B], block_count [B])
+
+    Every row is an INDEPENDENT stream: stats_start/stats_end and the running
+    moments accept per-row [B] vectors (scalars broadcast), and the returned
+    increments are per-row — this is what lets BatchedStreamingEnhancer
+    (streaming.py) serve many concurrent live streams in one program.
 
     stats_start / stats_end: the frame window whose statistics this block
     CONTRIBUTES to the running moments.  Frames before stats_start are
@@ -118,17 +123,22 @@ def _make_streaming_enhance_fn(audio_cfg, enhancer_cfg):
 
         valid = time_mask(frame_lengths, t_max)            # [B, T]
         t_idx = jnp.arange(t_max, dtype=jnp.int32)[None, :]
-        new = valid * (t_idx >= stats_start) * (t_idx < stats_end)
+        # Scalars reshape to [1, 1] / [1] and broadcast; [B] vectors address
+        # each row's own stats window and running moments.
+        ss = jnp.reshape(jnp.asarray(stats_start, jnp.int32), (-1, 1))
+        se = jnp.reshape(jnp.asarray(stats_end, jnp.int32), (-1, 1))
+        new = valid * (t_idx >= ss) * (t_idx < se)
         new_f = new[:, :, None]
-        b_sum = jnp.sum(log_mag * new_f)
-        b_sumsq = jnp.sum((log_mag ** 2) * new_f)
-        b_count = jnp.sum(new) * n_bins
+        b_sum = jnp.sum(log_mag * new_f, axis=(1, 2))          # [B]
+        b_sumsq = jnp.sum((log_mag ** 2) * new_f, axis=(1, 2))
+        b_count = jnp.sum(new, axis=1) * n_bins                # [B]
 
-        tot = jnp.maximum(run_count + b_count, 1.0)
+        tot = jnp.maximum(run_count + b_count, 1.0)            # [B]
         mean = (run_sum + b_sum) / tot
         var = jnp.maximum((run_sumsq + b_sumsq) / tot - mean ** 2, 0.0)
         if a.normalize:
-            net_in = ((log_mag - mean) / jnp.sqrt(var + 1e-5)) * valid[:, :, None]
+            net_in = ((log_mag - mean[:, None, None])
+                      / jnp.sqrt(var[:, None, None] + 1e-5)) * valid[:, :, None]
         else:
             net_in = log_mag
         out = model.apply(params, net_in, frame_lengths)

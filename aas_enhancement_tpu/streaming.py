@@ -110,10 +110,144 @@ class StreamingEnhancer:
             jnp.asarray(self._sum, jnp.float32),
             jnp.asarray(self._sumsq, jnp.float32),
             jnp.asarray(self._count, jnp.float32))
-        self._sum += float(s)
-        self._sumsq += float(ss)
-        self._count += float(n)
+        # The program returns per-row [B] increments (B == 1 here).
+        self._sum += float(s[0])
+        self._sumsq += float(ss[0])
+        self._count += float(n[0])
         return np.asarray(wav_out[0])
+
+
+class BatchedStreamingEnhancer:
+    """Multi-stream serving engine: up to `max_streams` concurrent live
+    streams enhanced in ONE jitted program per tick.
+
+    TPU-first serving: a single stream's 1 s chunk leaves the MXU idle, so a
+    serving process batches every live session's next block into one
+    [max_streams, window] program (compiled once — idle slots ride along as
+    zero-length rows whose outputs and stats increments are discarded).
+    Per-slot state (input buffer, left-context history, running normalization
+    moments) is exactly StreamingEnhancer's, so each stream's audio matches
+    the single-stream engine (tests/test_batched_streaming.py); the running
+    moments are per-row in the program itself (enhance.py streaming fn).
+
+    Session API:
+      slot = eng.open()            # -> slot id, RuntimeError when full
+      eng.feed(slot, samples)      # buffer capture audio (no compute)
+      eng.end_stream(slot)         # no more input; final partial chunk flushes
+      eng.step() -> {slot: samples}  # ONE batched program over ready slots
+      eng.close(slot)              # free the slot for a new session
+    Call step() until it returns {} to drain (each call advances every ready
+    stream by one chunk).  Throughput/latency: scripts/serving_bench.py.
+    """
+
+    def __init__(self, cfg: Config, params, max_streams: int = 8,
+                 chunk_seconds: float = 1.0, lookahead_seconds: float = 0.2,
+                 history_seconds: float = 1.0):
+        self.cfg = cfg
+        self.params = params
+        self.max_streams = max_streams
+        sr = cfg.audio.sample_rate
+        self.chunk = int(chunk_seconds * sr)
+        self.lookahead = int(lookahead_seconds * sr)
+        self.history = int(history_seconds * sr)
+        self._window = self.history + self.chunk + self.lookahead
+        self._fn = make_streaming_enhance_fn(cfg)
+        self._slots: list[dict | None] = [None] * max_streams
+
+    def open(self) -> int:
+        for s in range(self.max_streams):
+            if self._slots[s] is None:
+                self._slots[s] = {
+                    "buf": np.zeros(0, np.float32),
+                    "hist": np.zeros(self.history, np.float32),
+                    "sum": 0.0, "sumsq": 0.0, "count": 0.0,
+                    "flush": False, "done": False,
+                }
+                return s
+        raise RuntimeError(f"all {self.max_streams} stream slots in use")
+
+    def close(self, slot: int) -> None:
+        self._slots[slot] = None
+
+    def feed(self, slot: int, samples: np.ndarray) -> None:
+        st = self._slots[slot]
+        if st is None or st["flush"]:
+            raise RuntimeError(f"slot {slot} is not an open stream")
+        st["buf"] = np.concatenate([st["buf"], samples.astype(np.float32)])
+
+    def end_stream(self, slot: int) -> None:
+        st = self._slots[slot]
+        if st is None:
+            raise RuntimeError(f"slot {slot} is not an open stream")
+        st["flush"] = True
+
+    def step(self) -> dict[int, np.ndarray]:
+        """Run one batched tick; returns {slot: enhanced samples} for every
+        slot that had a full chunk buffered (or a final flush pending)."""
+        jobs: list[tuple[int, str]] = []
+        for s, st in enumerate(self._slots):
+            if st is None or st["done"]:
+                continue
+            if len(st["buf"]) >= self.chunk + self.lookahead:
+                jobs.append((s, "feed"))
+            elif st["flush"] and len(st["buf"]):
+                jobs.append((s, "flush"))
+            elif st["flush"]:
+                st["done"] = True
+        if not jobs:
+            return {}
+
+        hop = self.cfg.audio.hop_length
+        b = self.max_streams
+        block = np.zeros((b, self._window), np.float32)
+        lengths = np.zeros(b, np.int32)
+        ss = np.zeros(b, np.int32)
+        se = np.zeros(b, np.int32)
+        run = np.zeros((3, b), np.float32)
+        n_new = {}
+        for s, mode in jobs:
+            st = self._slots[s]
+            new = (st["buf"][: self.chunk + self.lookahead]
+                   if mode == "feed" else st["buf"])
+            consumed = self.chunk if mode == "feed" else len(new)
+            block[s, : self.history] = st["hist"]
+            block[s, self.history: self.history + len(new)] = new
+            lengths[s] = self.history + len(new)
+            # Same stats-window contract as StreamingEnhancer._run: the
+            # increment covers exactly the samples this tick consumes.
+            ss[s] = self.history // hop
+            se[s] = (self.history + consumed) // hop
+            run[:, s] = st["sum"], st["sumsq"], st["count"]
+            n_new[s] = len(new)
+        # Idle rows: length 0, ss == se == 0 -> zero stats increment, output
+        # discarded.  One fixed [max_streams, window] shape = one compile.
+        wav_out, b_sum, b_sumsq, b_count = self._fn(
+            self.params, jnp.asarray(block), jnp.asarray(lengths),
+            jnp.asarray(ss), jnp.asarray(se),
+            jnp.asarray(run[0]), jnp.asarray(run[1]), jnp.asarray(run[2]))
+        wav_out = np.asarray(wav_out)
+        b_sum, b_sumsq, b_count = (np.asarray(b_sum), np.asarray(b_sumsq),
+                                   np.asarray(b_count))
+
+        out: dict[int, np.ndarray] = {}
+        for s, mode in jobs:
+            st = self._slots[s]
+            st["sum"] += float(b_sum[s])
+            st["sumsq"] += float(b_sumsq[s])
+            st["count"] += float(b_count[s])
+            if mode == "feed":
+                out[s] = wav_out[s, self.history: self.history + self.chunk]
+                consumed_samples = st["buf"][: self.chunk]
+                st["buf"] = st["buf"][self.chunk:]
+            else:
+                out[s] = wav_out[s, self.history: self.history + n_new[s]]
+                consumed_samples = st["buf"]
+                st["buf"] = np.zeros(0, np.float32)
+                st["done"] = True
+            if self.history:
+                st["hist"] = np.concatenate(
+                    [st["hist"], consumed_samples])[-self.history:]
+        return out
 
 
 def enhance_stream(cfg: Config, params, samples: np.ndarray,
