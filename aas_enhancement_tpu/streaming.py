@@ -169,6 +169,11 @@ class BatchedStreamingEnhancer:
     def close(self, slot: int) -> None:
         self._slots[slot] = None
 
+    def is_done(self, slot: int) -> bool:
+        """True once an ended stream's final flush has been emitted."""
+        st = self._slots[slot]
+        return st is not None and st["done"]
+
     def feed(self, slot: int, samples: np.ndarray) -> None:
         st = self._slots[slot]
         if st is None or st["flush"]:

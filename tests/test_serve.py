@@ -1,0 +1,74 @@
+"""Live enhancement server: TCP sessions through the batched engine must
+reproduce the single-stream StreamingEnhancer output per client."""
+
+import threading
+
+import jax
+import numpy as np
+import pytest
+
+from aas_enhancement_tpu.config import Config, EnhancerConfig
+from aas_enhancement_tpu.data.synthetic import synth_utterance
+from aas_enhancement_tpu.enhance import init_enhancer
+from aas_enhancement_tpu.serve import EnhanceServer, enhance_via_server
+from aas_enhancement_tpu.streaming import StreamingEnhancer
+
+KW = dict(chunk_seconds=0.25, lookahead_seconds=0.05, history_seconds=0.25)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = Config(enhancer=EnhancerConfig(conv_channels=8, conv_layers=1,
+                                         rnn_hidden=16, rnn_layers=1))
+    params = init_enhancer(cfg, jax.random.key(0))
+    return cfg, params
+
+
+def reference(cfg, params, wav):
+    eng = StreamingEnhancer(cfg, params, **KW)
+    return np.concatenate([eng.feed(wav), eng.flush()])
+
+
+def test_concurrent_clients_match_single_stream(setup):
+    cfg, params = setup
+    wavs = [synth_utterance("SERVER STREAM ONE", seed=30),
+            synth_utterance("A SECOND CLIENT TALKING LONGER", seed=31)]
+    server = EnhanceServer(cfg, params, max_streams=4, **KW).start()
+    try:
+        results = [None] * len(wavs)
+
+        def client(i):
+            results[i] = enhance_via_server(server.address, wavs[i])
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(len(wavs))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+    finally:
+        server.stop()
+    for got, wav in zip(results, wavs):
+        assert got is not None and got.shape == wav.shape
+        np.testing.assert_allclose(got, reference(cfg, params, wav),
+                                   atol=2e-5)
+
+
+def test_server_full_refuses_politely(setup):
+    cfg, params = setup
+    wav = synth_utterance("ONLY ROOM FOR ONE", seed=32)
+    server = EnhanceServer(cfg, params, max_streams=1, **KW).start()
+    try:
+        import socket as socket_mod
+        from aas_enhancement_tpu.serve import recv_frame, send_frame
+
+        # Occupy the only slot with a half-open session.
+        first = socket_mod.create_connection(server.address)
+        send_frame(first, wav[:1000])
+        # Second connection must get immediate end-of-stream.
+        second = socket_mod.create_connection(server.address)
+        assert recv_frame(second) is None
+        second.close()
+        first.close()
+    finally:
+        server.stop()
