@@ -88,7 +88,11 @@ def evaluate_wer(cfg: Config, am_params, manifest, g_params=None,
 
     w = corpus_wer(refs, hyps)
     c = float(np.mean([cer(r, h) for r, h in zip(refs, hyps)])) if refs else 0.0
-    return {"wer": w, "cer": c, "utterances": len(refs),
+    # Utterance-bootstrap 95% CI: the synthetic held-out splits are small
+    # (48 utts), so every headline WER ships its sampling error.
+    from aas_enhancement_tpu.decode.wer import corpus_wer_ci
+    _, lo, hi = corpus_wer_ci(refs, hyps)
+    return {"wer": w, "wer_ci95": [lo, hi], "cer": c, "utterances": len(refs),
             "sample_ref": refs[0] if refs else "", "sample_hyp": hyps[0] if hyps else ""}
 
 

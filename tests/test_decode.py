@@ -67,6 +67,20 @@ def test_wer_cer():
     assert corpus_wer(["A B", "C D"], ["A B", "C X"]) == 0.25
 
 
+def test_corpus_wer_ci():
+    from aas_enhancement_tpu.decode.wer import corpus_wer_ci
+    refs = ["A B", "C D", "E F", "G H"] * 12
+    hyps = ["A B", "C X", "E F", "G H"] * 12
+    point, lo, hi = corpus_wer_ci(refs, hyps, seed=1)
+    assert point == corpus_wer(refs, hyps)
+    assert 0.0 <= lo <= point <= hi <= 1.0
+    assert hi > lo                       # non-degenerate interval
+    # Deterministic in seed; perfect hypotheses give a degenerate zero CI.
+    assert corpus_wer_ci(refs, hyps, seed=1) == (point, lo, hi)
+    assert corpus_wer_ci(refs, refs, seed=2) == (0.0, 0.0, 0.0)
+    assert corpus_wer_ci([], []) == (0.0, 0.0, 0.0)
+
+
 def test_si_snr_metric():
     """SI-SNR: scale-invariant, +inf-ish for identical, low for noise."""
     import numpy as np
