@@ -125,6 +125,7 @@ def main():
                              batch_size=args.batch_size)
     result["wer_clean_test"] = clean_wer["wer"]
     result["wer_noisy_test"] = noisy_wer["wer"]
+    result["wer_noisy_test_ci95"] = noisy_wer.get("wer_ci95")
     result["sample"] = {"ref": noisy_wer["sample_ref"],
                         "hyp_noisy": noisy_wer["sample_hyp"]}
     save()
@@ -160,6 +161,7 @@ def main():
                            g_params=aas_state.g_params,
                            batch_size=args.batch_size)
     result["wer_enhanced_test"] = enh_wer["wer"]
+    result["wer_enhanced_test_ci95"] = enh_wer.get("wer_ci95")
     result["wer_delta_test"] = enh_wer["wer"] - noisy_wer["wer"]
     result["sample"]["hyp_enhanced"] = enh_wer["sample_hyp"]
     save()
