@@ -1,0 +1,142 @@
+"""TRUE live-pipeline WER: streaming enhancer -> streaming AM -> greedy /
+beam+LM rescore, from a trained e2e workdir.
+
+The round-3 "deployment mode" measurement (hybrid_fusion_r3.json
+streamed_deployment_mode) streamed the ENHANCEMENT but still ran the
+acoustic model offline over the full streamed waveform.  This script closes
+the loop: audio goes through StreamingRecognizer (streaming_asr.py) — both
+networks block-streaming with running normalization — and the session's
+emitted log-probs are decoded greedily (the live transcript) and rescored
+with the tuned char+word hybrid beam (the final-transcript mode).  Fusion
+weights are tuned on the DEV split under the SAME live condition.
+
+Usage: python scripts/live_pipeline_eval.py --workdir /tmp/aas_e2e_r3 \
+           [--cpu] [--chunk 1.0] [--lookahead 0.2] [--history 0.5] \
+           [--order 4] [--beam-width 16] [--out result.json]
+"""
+
+from __future__ import annotations
+
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import argparse
+import json
+import os
+import pickle
+import time
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--workdir", required=True)
+    p.add_argument("--chunk", type=float, default=1.0)
+    p.add_argument("--lookahead", type=float, default=0.2)
+    p.add_argument("--history", type=float, default=0.5)
+    p.add_argument("--order", type=int, default=4)
+    p.add_argument("--beam-width", type=int, default=16)
+    p.add_argument("--prune-k", type=int, default=8)
+    p.add_argument("--feed-seconds", type=float, default=0.1)
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--out", default="")
+    args = p.parse_args()
+
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from aas_enhancement_tpu.config import Config
+    from aas_enhancement_tpu.data.wav import read_wav
+    from aas_enhancement_tpu.decode.beam import beam_decode
+    from aas_enhancement_tpu.decode.lm import CharNGramLM, WordNGramLM
+    from aas_enhancement_tpu.decode.wer import corpus_wer, corpus_wer_ci
+    from aas_enhancement_tpu.streaming_asr import StreamingRecognizer
+    from aas_enhancement_tpu.utils import jax_cache
+    jax_cache.enable()
+
+    state = json.load(open(os.path.join(args.workdir, "sweep_state.json")))
+    with open(state["params_pkl"], "rb") as f:
+        trained = pickle.load(f)
+    cfg = Config.from_json(trained["cfg_json"])
+    am, g = trained["am_params"], trained["g_params"]
+
+    sr = cfg.audio.sample_rate
+    step = int(args.feed_seconds * sr)
+
+    def stream_split(manifest):
+        """-> (refs, greedy transcripts, per-utt [T, V] live log-probs)."""
+        refs, greedy, lps = [], [], []
+        for line in open(manifest).read().splitlines():
+            wav_path, txt_path = line.split(",")
+            wav, _ = read_wav(wav_path)
+            rec = StreamingRecognizer(
+                cfg, am, g_params=g, chunk_seconds=args.chunk,
+                lookahead_seconds=args.lookahead,
+                history_seconds=args.history, collect_logits=True)
+            for i in range(0, len(wav), step):
+                rec.feed(wav[i: i + step])
+            rec.flush()
+            refs.append(open(txt_path).read().strip())
+            greedy.append(rec.transcript())
+            lps.append(rec.log_probs())
+        return refs, greedy, lps
+
+    t0 = time.time()
+    result = {"workdir": args.workdir, "chunk_s": args.chunk,
+              "lookahead_s": args.lookahead, "history_s": args.history,
+              "latency_s": args.chunk + args.lookahead}
+
+    clm = CharNGramLM.from_manifests([state["train_noisy"]], order=args.order)
+    wlm = WordNGramLM.from_manifests([state["train_noisy"]])
+
+    def hybrid_wer(lps, refs, pt):
+        hyps = [beam_decode(lp[None], None, beam_width=args.beam_width,
+                            prune_k=args.prune_k, lm=clm,
+                            lm_alpha=pt["alpha"], lm_beta=pt["beta"],
+                            word_lm=wlm, word_alpha=pt["word_alpha"],
+                            word_beta=pt["word_beta"])[0] for lp in lps]
+        return corpus_wer(refs, hyps)
+
+    # Tune hybrid fusion on DEV under the live condition (coordinate grid,
+    # same shape as decode/tune.grid_search_hybrid but over live log-probs).
+    dev_refs, dev_greedy, dev_lps = stream_split(state["dev_noisy"])
+    result["dev_greedy"] = corpus_wer(dev_refs, dev_greedy)
+    best_c, wer_c = (0.0, 0.0), result["dev_greedy"]
+    for a_ in (0.3, 0.6, 1.0, 1.5):
+        for b_ in (-0.5, 0.0, 0.5, 1.0):
+            w = hybrid_wer(dev_lps, dev_refs,
+                           {"alpha": a_, "beta": b_, "word_alpha": 0.0,
+                            "word_beta": 0.0})
+            if w < wer_c:
+                best_c, wer_c = (a_, b_), w
+    best = {"alpha": best_c[0], "beta": best_c[1],
+            "word_alpha": 0.0, "word_beta": 0.0}
+    wer_h = wer_c
+    for wa in (0.3, 0.6, 1.0):
+        for wb in (0.0, 0.5, 1.0):
+            pt = {**best, "word_alpha": wa, "word_beta": wb}
+            w = hybrid_wer(dev_lps, dev_refs, pt)
+            if w < wer_h:
+                best, wer_h = pt, w
+    result["tuned"] = {**best, "dev_wer": wer_h, "dev_wer_char_only": wer_c}
+
+    # Held-out test split, live.
+    refs, greedy, lps = stream_split(state["test_noisy"])
+    wg, lo, hi = corpus_wer_ci(refs, greedy)
+    result["live_greedy_test"] = wg
+    result["live_greedy_test_ci95"] = [lo, hi]
+    result["live_hybrid_test"] = hybrid_wer(lps, refs, best)
+    result["utterances"] = len(refs)
+    result["wall_minutes"] = round((time.time() - t0) / 60.0, 1)
+    print(json.dumps(result, indent=1))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
