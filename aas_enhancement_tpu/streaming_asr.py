@@ -165,14 +165,7 @@ class StreamingRecognizer:
 
     def transcript(self) -> str:
         """Greedy CTC collapse of everything emitted so far."""
-        from aas_enhancement_tpu.labels import decode_ids
-
-        collapsed, prev = [], 0
-        for i in self._ids:
-            if i != prev and i != 0:
-                collapsed.append(i)
-            prev = i
-        return decode_ids(np.asarray(collapsed, np.int32))
+        return _collapse(self._ids)
 
     def log_probs(self) -> np.ndarray:
         """[T_emitted, V] log-probs of the streamed session (for beam+LM
@@ -213,3 +206,149 @@ class StreamingRecognizer:
         ids = np.argmax(frames, axis=-1).astype(int).tolist()
         self._ids.extend(ids)
         return ids
+
+
+def _collapse(ids) -> str:
+    from aas_enhancement_tpu.labels import decode_ids
+
+    collapsed, prev = [], 0
+    for i in ids:
+        if i != prev and i != 0:
+            collapsed.append(i)
+        prev = i
+    return decode_ids(np.asarray(collapsed, np.int32))
+
+
+class BatchedStreamingRecognizer:
+    """Multi-session live recognition: up to `max_streams` concurrent
+    sessions, ONE jitted (enhancer ->) AM program per tick.
+
+    The serving counterpart of streaming.BatchedStreamingEnhancer for
+    transcription — the block program (make_streaming_asr_fn) is per-row in
+    its running moments, so every session keeps its own normalization state
+    while sharing the batch.  Slot API mirrors the enhancer engine:
+    open/feed/end_stream/step/close + transcript(slot); step() returns
+    {slot: newly emitted argmax id frames}.  Per-session output matches
+    StreamingRecognizer exactly (tests/test_streaming_asr.py)."""
+
+    def __init__(self, cfg: Config, am_params, g_params=None,
+                 max_streams: int = 8, chunk_seconds: float = 1.0,
+                 lookahead_seconds: float = 0.5, history_seconds: float = 0.5):
+        self.cfg = cfg
+        self.am_params = am_params
+        self.g_params = g_params if g_params is not None else {}
+        self.max_streams = max_streams
+        sr = cfg.audio.sample_rate
+        hop = cfg.audio.hop_length
+        self.chunk = int(chunk_seconds * sr)
+        self.lookahead = int(lookahead_seconds * sr)
+        self.history = int(history_seconds * sr)
+        for name, n in (("chunk", self.chunk), ("history", self.history)):
+            if n % hop or (n // hop) % 2:
+                raise ValueError(
+                    f"{name} ({n} samples) must be a whole, EVEN number of "
+                    f"hops (hop_length={hop}) for exact AM frame stitching")
+        self._window = self.history + self.chunk + self.lookahead
+        self._fn = make_streaming_asr_fn(cfg, use_enhancer=g_params is not None)
+        self._slots: list[dict | None] = [None] * max_streams
+
+    def open(self) -> int:
+        for s in range(self.max_streams):
+            if self._slots[s] is None:
+                self._slots[s] = {
+                    "buf": np.zeros(0, np.float32),
+                    "hist": np.zeros(self.history, np.float32),
+                    "enh_run": np.zeros(3, np.float32),
+                    "am_run": np.zeros(3, np.float32),
+                    "ids": [], "flush": False, "done": False,
+                }
+                return s
+        raise RuntimeError(f"all {self.max_streams} stream slots in use")
+
+    def close(self, slot: int) -> None:
+        self._slots[slot] = None
+
+    def is_done(self, slot: int) -> bool:
+        st = self._slots[slot]
+        return st is not None and st["done"]
+
+    def feed(self, slot: int, samples: np.ndarray) -> None:
+        st = self._slots[slot]
+        if st is None or st["flush"]:
+            raise RuntimeError(f"slot {slot} is not an open stream")
+        st["buf"] = np.concatenate([st["buf"], samples.astype(np.float32)])
+
+    def end_stream(self, slot: int) -> None:
+        st = self._slots[slot]
+        if st is None:
+            raise RuntimeError(f"slot {slot} is not an open stream")
+        st["flush"] = True
+
+    def transcript(self, slot: int) -> str:
+        st = self._slots[slot]
+        if st is None:
+            raise RuntimeError(f"slot {slot} is not an open stream")
+        return _collapse(st["ids"])
+
+    def step(self) -> dict[int, list[int]]:
+        """One batched tick; {slot: new argmax id frames} for ready slots.
+        An ended stream ALWAYS takes a final block (even with an empty
+        buffer) to emit the trailing frames — see the module docstring."""
+        jobs: list[tuple[int, bool]] = []          # (slot, final)
+        for s, st in enumerate(self._slots):
+            if st is None or st["done"]:
+                continue
+            if len(st["buf"]) >= self.chunk + self.lookahead:
+                jobs.append((s, False))
+            elif st["flush"]:
+                jobs.append((s, True))
+        if not jobs:
+            return {}
+
+        hop = self.cfg.audio.hop_length
+        b = self.max_streams
+        block = np.zeros((b, self._window), np.float32)
+        lengths = np.zeros(b, np.int32)
+        ss = np.zeros(b, np.int32)
+        se = np.zeros(b, np.int32)
+        enh_run = np.zeros((3, b), np.float32)
+        am_run = np.zeros((3, b), np.float32)
+        for s, final in jobs:
+            st = self._slots[s]
+            new = st["buf"] if final else st["buf"][: self.chunk
+                                                    + self.lookahead]
+            consumed = len(new) if final else self.chunk
+            block[s, : self.history] = st["hist"]
+            block[s, self.history: self.history + len(new)] = new
+            lengths[s] = self.history + len(new)
+            ss[s] = self.history // hop
+            se[s] = (self.history + consumed) // hop + (1 if final else 0)
+            enh_run[:, s] = st["enh_run"]
+            am_run[:, s] = st["am_run"]
+        logits, out_lengths, enh_inc, am_inc = self._fn(
+            self.am_params, self.g_params, jnp.asarray(block),
+            jnp.asarray(lengths), jnp.asarray(ss), jnp.asarray(se),
+            jnp.asarray(enh_run), jnp.asarray(am_run))
+        logits = np.asarray(logits)
+        out_lengths = np.asarray(out_lengths)
+        enh_inc, am_inc = np.asarray(enh_inc), np.asarray(am_inc)
+
+        h_am = (self.history // hop) // 2
+        out: dict[int, list[int]] = {}
+        for s, final in jobs:
+            st = self._slots[s]
+            st["enh_run"] += enh_inc[:, s]
+            st["am_run"] += am_inc[:, s]
+            if final:
+                end = int(out_lengths[s])
+                st["buf"] = np.zeros(0, np.float32)
+                st["done"] = True
+            else:
+                end = (self.history // hop + self.chunk // hop) // 2
+                st["hist"] = np.concatenate(
+                    [st["hist"], st["buf"][: self.chunk]])[-self.history:]
+                st["buf"] = st["buf"][self.chunk:]
+            ids = np.argmax(logits[s, h_am: end], axis=-1).astype(int).tolist()
+            st["ids"].extend(ids)
+            out[s] = ids
+        return out

@@ -33,6 +33,10 @@ def main():
     p.add_argument("--chunk", type=float, default=1.0)
     p.add_argument("--lookahead", type=float, default=0.2)
     p.add_argument("--history", type=float, default=0.5)
+    p.add_argument("--transcribe", action="store_true",
+                   help="bench the live RECOGNITION engine (enhancer + AM "
+                        "per block, streaming_asr.BatchedStreamingRecognizer)"
+                        " instead of enhancement only")
     args = p.parse_args()
 
     import jax
@@ -41,13 +45,26 @@ def main():
     from aas_enhancement_tpu.enhance import init_enhancer
     from aas_enhancement_tpu.streaming import BatchedStreamingEnhancer
 
-    cfg = Config()                      # production enhancer size
+    cfg = Config()                      # production model sizes
     params = init_enhancer(cfg, jax.random.key(0))
     sr = cfg.audio.sample_rate
-    eng = BatchedStreamingEnhancer(cfg, params, max_streams=args.streams,
-                                   chunk_seconds=args.chunk,
-                                   lookahead_seconds=args.lookahead,
-                                   history_seconds=args.history)
+    if args.transcribe:
+        import jax.numpy as jnp
+        from aas_enhancement_tpu.models.am import AcousticModel
+        from aas_enhancement_tpu.streaming_asr import BatchedStreamingRecognizer
+
+        am = AcousticModel(cfg.am)
+        x = jnp.zeros((1, 64, cfg.audio.num_bins), jnp.float32)
+        am_params = am.init(jax.random.key(1), x, jnp.array([64], jnp.int32))
+        eng = BatchedStreamingRecognizer(
+            cfg, am_params, g_params=params, max_streams=args.streams,
+            chunk_seconds=args.chunk, lookahead_seconds=args.lookahead,
+            history_seconds=args.history)
+    else:
+        eng = BatchedStreamingEnhancer(cfg, params, max_streams=args.streams,
+                                       chunk_seconds=args.chunk,
+                                       lookahead_seconds=args.lookahead,
+                                       history_seconds=args.history)
     slots = [eng.open() for _ in range(args.streams)]
     rng = np.random.default_rng(0)
     push = int((args.chunk + args.lookahead) * sr)
@@ -79,6 +96,7 @@ def main():
     # near-linear in batch until the MXU fills).
     capacity = args.streams * args.chunk / p50
     print(json.dumps({
+        "mode": "transcribe" if args.transcribe else "enhance",
         "streams": args.streams, "chunk_s": args.chunk,
         "lookahead_s": args.lookahead, "history_s": args.history,
         "tick_p50_s": round(p50, 4), "tick_p95_s": round(p95, 4),

@@ -93,6 +93,47 @@ def test_enhancer_pipeline_runs(setup):
     assert isinstance(rec.transcript(), str)
 
 
+def test_batched_recognizer_matches_single(setup):
+    """Concurrent sessions in BatchedStreamingRecognizer emit the same id
+    frames and transcripts as independent StreamingRecognizer runs."""
+    from aas_enhancement_tpu.streaming_asr import BatchedStreamingRecognizer
+
+    cfg, am_params, g_params = setup
+    wavs = [synth_utterance("BATCHED SESSION ONE", seed=6),
+            synth_utterance("A LONGER SECOND LIVE SESSION", seed=7),
+            synth_utterance("HI", seed=8)]
+
+    eng = BatchedStreamingRecognizer(cfg, am_params, g_params=g_params,
+                                     max_streams=4, **KW)
+    slots = [eng.open() for _ in wavs]
+    ids = {s: [] for s in slots}
+    pos = [0] * len(wavs)
+    while any(p < len(w) for p, w in zip(pos, wavs)):
+        for i, (s, w) in enumerate(zip(slots, wavs)):
+            if pos[i] < len(w):
+                eng.feed(s, w[pos[i]: pos[i] + 5000])
+                pos[i] += 5000
+        got = eng.step()
+        while got:
+            for s, x in got.items():
+                ids[s].extend(x)
+            got = eng.step()
+    for s in slots:
+        eng.end_stream(s)
+    got = eng.step()
+    while got:
+        for s, x in got.items():
+            ids[s].extend(x)
+        got = eng.step()
+
+    for s, w in zip(slots, wavs):
+        ref = StreamingRecognizer(cfg, am_params, g_params=g_params, **KW)
+        ref_ids = ref.feed(w) + ref.flush()
+        assert ids[s] == ref_ids
+        assert eng.transcript(s) == ref.transcript()
+        assert eng.is_done(s)
+
+
 def test_rejects_unaligned_windows(setup):
     cfg, am_params, _ = setup
     with pytest.raises(ValueError):
