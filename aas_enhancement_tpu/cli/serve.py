@@ -27,6 +27,10 @@ def main(argv=None) -> None:
     p.add_argument("--chunk", type=float, default=1.0)
     p.add_argument("--lookahead", type=float, default=0.2)
     p.add_argument("--history", type=float, default=0.5)
+    p.add_argument("--transcribe", action="store_true",
+                   help="serve live TRANSCRIPTS (enhancer + AM per block; "
+                        "checkpoint must carry acoustic-model params) — "
+                        "response frames are UTF-8 transcript deltas")
     args = p.parse_args(argv)
 
     from aas_enhancement_tpu.utils import jax_cache
@@ -36,16 +40,22 @@ def main(argv=None) -> None:
     from aas_enhancement_tpu.train.loop import load_state
 
     state, cfg = load_state(args.checkpoint)
-    if not state.g_params:
+    if not state.g_params and not (args.transcribe and state.am_params):
         raise SystemExit(f"{args.checkpoint}: checkpoint has no enhancer "
                          f"(objective was {cfg.train.objective!r})")
+    if args.transcribe and not state.am_params:
+        raise SystemExit(f"{args.checkpoint}: --transcribe needs acoustic-"
+                         f"model params (train objective 'am' or 'aas')")
 
     server = EnhanceServer(cfg, state.g_params, host=args.host,
                            port=args.port, max_streams=args.max_streams,
                            chunk_seconds=args.chunk,
                            lookahead_seconds=args.lookahead,
-                           history_seconds=args.history).start()
+                           history_seconds=args.history,
+                           am_params=(state.am_params if args.transcribe
+                                      else None)).start()
     print(json.dumps({"serving": f"{server.address[0]}:{server.address[1]}",
+                      "mode": "transcribe" if args.transcribe else "enhance",
                       "max_streams": args.max_streams,
                       "latency_s": args.chunk + args.lookahead}), flush=True)
     try:

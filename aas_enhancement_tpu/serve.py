@@ -42,18 +42,21 @@ def send_eos(sock: socket.socket) -> None:
     sock.sendall(_HDR.pack(0))
 
 
-def recv_frame(sock: socket.socket) -> np.ndarray | None:
-    """-> float32 samples, or None on end-of-stream / closed socket."""
+def recv_frame_bytes(sock: socket.socket) -> bytes | None:
+    """-> one frame's payload, or None on end-of-stream / closed socket."""
     hdr = _recv_exact(sock, _HDR.size)
     if hdr is None:
         return None
     (n,) = _HDR.unpack(hdr)
     if n == 0:
         return None
-    data = _recv_exact(sock, n)
-    if data is None:
-        return None
-    return np.frombuffer(data, np.float32)
+    return _recv_exact(sock, n)
+
+
+def recv_frame(sock: socket.socket) -> np.ndarray | None:
+    """-> float32 samples, or None on end-of-stream / closed socket."""
+    data = recv_frame_bytes(sock)
+    return None if data is None else np.frombuffer(data, np.float32)
 
 
 def _recv_exact(sock: socket.socket, n: int) -> bytes | None:
@@ -70,17 +73,34 @@ def _recv_exact(sock: socket.socket, n: int) -> bytes | None:
 
 
 class EnhanceServer:
-    """Serve live enhancement sessions over TCP (see module docstring)."""
+    """Serve live enhancement sessions over TCP (see module docstring).
+
+    With `am_params` the server TRANSCRIBES instead: sessions run through
+    BatchedStreamingRecognizer (enhancer + AM per block) and the frames sent
+    back carry UTF-8 transcript DELTAS — greedy CTC collapse is append-only
+    across blocks, so the client just concatenates them."""
 
     def __init__(self, cfg: Config, params, host: str = "127.0.0.1",
                  port: int = 0, max_streams: int = 8,
                  chunk_seconds: float = 1.0, lookahead_seconds: float = 0.2,
-                 history_seconds: float = 0.5, tick_seconds: float = 0.02):
-        self._eng = BatchedStreamingEnhancer(
-            cfg, params, max_streams=max_streams,
-            chunk_seconds=chunk_seconds,
-            lookahead_seconds=lookahead_seconds,
-            history_seconds=history_seconds)
+                 history_seconds: float = 0.5, tick_seconds: float = 0.02,
+                 am_params=None):
+        self._transcribe = am_params is not None
+        if self._transcribe:
+            from aas_enhancement_tpu.streaming_asr import (
+                BatchedStreamingRecognizer)
+            self._eng = BatchedStreamingRecognizer(
+                cfg, am_params, g_params=params or None,
+                max_streams=max_streams, chunk_seconds=chunk_seconds,
+                lookahead_seconds=lookahead_seconds,
+                history_seconds=history_seconds)
+            self._sent: dict[int, int] = {}   # chars already sent per slot
+        else:
+            self._eng = BatchedStreamingEnhancer(
+                cfg, params, max_streams=max_streams,
+                chunk_seconds=chunk_seconds,
+                lookahead_seconds=lookahead_seconds,
+                history_seconds=history_seconds)
         self._lock = threading.Lock()        # guards _eng state + _socks
         self._socks: dict[int, socket.socket] = {}
         self._tick = tick_seconds
@@ -120,6 +140,8 @@ class EnhanceServer:
                     slot = None               # full: refuse politely
                 if slot is not None:
                     self._socks[slot] = sock
+                    if self._transcribe:
+                        self._sent[slot] = 0
             if slot is None:
                 try:
                     send_eos(sock)
@@ -148,6 +170,14 @@ class EnhanceServer:
         while not self._stop.is_set():
             with self._lock:
                 out = self._eng.step()
+                if self._transcribe:
+                    # Replace id frames with the UTF-8 transcript delta.
+                    deltas = {}
+                    for s in out:
+                        text = self._eng.transcript(s)
+                        deltas[s] = text[self._sent.get(s, 0):]
+                        self._sent[s] = len(text)
+                    out = deltas
                 done = [s for s in list(self._socks)
                         if self._eng.is_done(s)]
                 socks = {s: self._socks[s] for s in (*out, *done)
@@ -155,14 +185,22 @@ class EnhanceServer:
                 for s in done:
                     self._eng.close(s)
                     self._socks.pop(s, None)
+                    if self._transcribe:
+                        self._sent.pop(s, None)
             # Socket IO outside the lock: a slow client must not stall the
             # engine for everyone else beyond its own backlog.
-            for s, samples in out.items():
-                if s in socks:
-                    try:
-                        send_frame(socks[s], samples)
-                    except OSError:
-                        pass                  # client went away mid-stream
+            for s, payload in out.items():
+                if s not in socks:
+                    continue
+                try:
+                    if self._transcribe:
+                        if payload:           # skip empty deltas
+                            data = payload.encode("utf-8")
+                            socks[s].sendall(_HDR.pack(len(data)) + data)
+                    else:
+                        send_frame(socks[s], payload)
+                except OSError:
+                    pass                      # client went away mid-stream
             for s in done:
                 if s in socks:
                     try:
@@ -195,3 +233,24 @@ def enhance_via_server(address, samples: np.ndarray,
     finally:
         sock.close()
     return (np.concatenate(outs) if outs else np.zeros(0, np.float32))
+
+
+def transcribe_via_server(address, samples: np.ndarray,
+                          push: int = 4000) -> str:
+    """Client helper for a transcribe-mode server: stream a waveform, return
+    the final transcript (concatenated UTF-8 deltas)."""
+    sock = socket.create_connection(address)
+    try:
+        def _push():
+            for i in range(0, len(samples), push):
+                send_frame(sock, samples[i: i + push])
+            send_eos(sock)
+        w = threading.Thread(target=_push, daemon=True)
+        w.start()
+        parts = []
+        while (data := recv_frame_bytes(sock)) is not None:
+            parts.append(data.decode("utf-8"))
+        w.join(timeout=5.0)
+    finally:
+        sock.close()
+    return "".join(parts)

@@ -54,6 +54,39 @@ def test_concurrent_clients_match_single_stream(setup):
                                    atol=2e-5)
 
 
+def test_transcribe_mode_matches_recognizer(setup):
+    """A transcribe-mode session returns the StreamingRecognizer transcript
+    (UTF-8 deltas concatenated)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from aas_enhancement_tpu.config import AMConfig
+    from aas_enhancement_tpu.models.am import AcousticModel
+    from aas_enhancement_tpu.serve import transcribe_via_server
+    from aas_enhancement_tpu.streaming_asr import StreamingRecognizer
+
+    cfg, g_params = setup
+    cfg = dataclasses.replace(cfg, am=AMConfig(rnn_hidden=16, rnn_layers=1,
+                                               conv_channels=8))
+    am = AcousticModel(cfg.am)
+    x = jnp.zeros((1, 64, cfg.audio.num_bins), jnp.float32)
+    am_params = am.init(jax.random.key(2), x, jnp.array([64], jnp.int32))
+    wav = synth_utterance("TRANSCRIBE THIS LIVE", seed=40)
+
+    kw = dict(chunk_seconds=0.5, lookahead_seconds=0.2, history_seconds=0.5)
+    server = EnhanceServer(cfg, g_params, max_streams=2, am_params=am_params,
+                           **kw).start()
+    try:
+        got = transcribe_via_server(server.address, wav)
+    finally:
+        server.stop()
+    ref = StreamingRecognizer(cfg, am_params, g_params=g_params, **kw)
+    ref.feed(wav)
+    ref.flush()
+    assert got == ref.transcript()
+
+
 def test_server_full_refuses_politely(setup):
     cfg, params = setup
     wav = synth_utterance("ONLY ROOM FOR ONE", seed=32)
