@@ -31,12 +31,21 @@ def main(argv=None) -> None:
                    help="char-level n-gram order (dense table is "
                         "V^(order-1) x V; keep <= 4 for the 29-char vocab)")
     p.add_argument("--out", required=True, help="output LM json path")
+    p.add_argument("--arpa", default="",
+                   help="also export the word LM as a KenLM-style ARPA file "
+                        "(word level only; loadable via --lm/--word-lm)")
     args = p.parse_args(argv)
 
+    if args.arpa and args.level != "word":
+        p.error("--arpa only applies to --level word")
     if args.level == "word":
         lm = WordNGramLM.from_manifests(args.manifest)
         lm.save(args.out)
+        if args.arpa:
+            from aas_enhancement_tpu.decode.arpa import export_arpa
+            export_arpa(lm, args.arpa)
         print(json.dumps({"out": args.out, "level": "word",
+                          "arpa": args.arpa or None,
                           "vocab_words": len(lm.uni),
                           "bigrams": len(lm.bi), "tokens": lm.total}))
     else:

@@ -298,11 +298,16 @@ class WordNGramLM:
 
 
 def load_lm(path: str):
-    """Load either LM kind from a json file (the `kind` field disambiguates;
-    char-LM files predate the field)."""
-    with open(path) as f:
-        head = json.load(f)
-    if head.get("kind") == "word":
+    """Load any supported LM file: the json formats above (the `kind` field
+    disambiguates; char-LM files predate it) or a KenLM-style ARPA text file
+    (sniffed by its \\data\\ header — decode/arpa.py)."""
+    with open(path, encoding="utf-8", errors="replace") as f:
+        head = f.read(65536)
+    if "\\data\\" in head.split("\\1-grams:")[0]:
+        from aas_enhancement_tpu.decode.arpa import ArpaWordLM
+        return ArpaWordLM.load_arpa(path)
+    data = json.loads(head if len(head) < 65536 else open(path).read())
+    if data.get("kind") == "word":
         return WordNGramLM.load(path)
     return CharNGramLM.load(path)
 

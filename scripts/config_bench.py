@@ -129,8 +129,11 @@ def main() -> None:
     jax_cache.enable()
 
     rows = []
+    # Configs 2-5 are BASELINE.json:7-11's numbered run modes; "am" (CTC
+    # pre-training of the acoustic model) is the unnumbered prerequisite stage
+    # of the reference workflow and is benchmarked alongside them.
     for i, objective in ((2, "paired"), (3, "adversarial"), (4, "acoustic"),
-                         (5, "aas")):
+                         (5, "aas"), ("am", "am")):
         r = {"config": i, **bench_objective(objective)}
         print(json.dumps(r), flush=True)
         rows.append(r)
