@@ -59,14 +59,12 @@ def bench_objective(objective: str, batch_size: int = 128,
     """One warm jitted train step for the given objective, production shapes
     (bf16 compute, 8 s utterances) — the same protocol as bench.bench_train_step."""
     import jax
-    import numpy as np
 
     from aas_enhancement_tpu.config import (AMConfig, Config,
                                             DiscriminatorConfig,
                                             EnhancerConfig, MeshConfig,
                                             TrainConfig)
-    from aas_enhancement_tpu.parallel.mesh import (make_mesh, replicate_state,
-                                                   shard_batch)
+    from aas_enhancement_tpu.parallel.mesh import make_mesh, replicate_state
     from aas_enhancement_tpu.train.loop import init_state
     from aas_enhancement_tpu.train.steps import make_train_step
 
@@ -79,30 +77,43 @@ def bench_objective(objective: str, batch_size: int = 128,
     n_chips = len(mesh.devices.ravel())
 
     n = int(cfg.audio.sample_rate * seconds)
-    rng = np.random.default_rng(0)
-    batch = {
-        "wav": rng.standard_normal((batch_size, n)).astype(np.float32) * 0.1,
-        "wav_lengths": np.full((batch_size,), n, np.int32),
-        "labels": rng.integers(1, 29, size=(batch_size, 48)).astype(np.int32),
-        "label_paddings": np.zeros((batch_size, 48), np.float32),
-        "clean_wav": rng.standard_normal((batch_size, n)).astype(np.float32) * 0.1,
-        "clean_wav_lengths": np.full((batch_size,), n, np.int32),
-    }
+
+    # Batch built ON DEVICE: the resident-batch protocol doesn't care where
+    # the random bits came from, and a host batch would pay 2 x 65 MB through
+    # this environment's ~10-50 MB/s tunnel per objective.
+    import jax.numpy as jnp
+
+    @jax.jit
+    def make_batch(key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        return {
+            "wav": 0.1 * jax.random.normal(k1, (batch_size, n), jnp.float32),
+            "wav_lengths": jnp.full((batch_size,), n, jnp.int32),
+            "labels": jax.random.randint(k3, (batch_size, 48), 1, 29, jnp.int32),
+            "label_paddings": jnp.zeros((batch_size, 48), jnp.float32),
+            "clean_wav": 0.1 * jax.random.normal(k2, (batch_size, n), jnp.float32),
+            "clean_wav_lengths": jnp.full((batch_size,), n, jnp.int32),
+        }
 
     state = init_state(cfg, jax.random.key(0))
     state = replicate_state(mesh, state)
     step = jax.jit(make_train_step(cfg), donate_argnums=(0,))
 
-    sync_key = {"paired": "loss_g", "adversarial": "loss_g",
-                "acoustic": "loss_g", "aas": "loss_g", "am": "loss_ctc"}[objective]
+    def sync(aux):
+        # Scalar fetch of any aux leaf = tunnel-safe completion barrier
+        # (objectives report different loss keys: loss_paired / loss_g /
+        # loss_ctc_am).
+        float(jax.tree.leaves(aux)[0].ravel()[0])
+
     with mesh:
-        sharded = shard_batch(mesh, batch)
+        sharded = jax.device_put(make_batch(jax.random.key(7)),
+                                 jax.devices()[0])
         state, aux = step(state, sharded)
-        float(aux[sync_key])  # compile + tunnel-safe sync
+        sync(aux)  # compile + sync
         t0 = time.perf_counter()
         for _ in range(steps):
             state, aux = step(state, sharded)
-        float(aux[sync_key])
+        sync(aux)
         dt = time.perf_counter() - t0
 
     return {"objective": objective,
