@@ -148,3 +148,26 @@ def test_out_of_charset_words_excluded(tmp_path):
     lm = ArpaWordLM.load_arpa(path)
     ex = lm.export_native()
     assert ex["words"] == ["CAT", "DOG"]
+
+
+def test_arpa_native_matches_python(wlm, arpa_path):
+    """Native C++ fusion through an ARPA-sourced table == python fallback
+    (same contract as test_lm.test_word_lm_native_matches_python)."""
+    from aas_enhancement_tpu.decode.beam import (beam_search_native,
+                                                 beam_search_python)
+    from aas_enhancement_tpu.labels import LABELS
+    rng = np.random.default_rng(5)
+    v = len(LABELS)
+    ex = ArpaWordLM.load_arpa(arpa_path).export_native()
+    for trial in range(3):
+        logits = rng.standard_normal((24, v)).astype(np.float32) * 2.0
+        logits[:, 1] += 1.0              # make spaces likely enough to matter
+        lp = logits - np.log(np.sum(np.exp(logits), axis=1, keepdims=True))
+        kw = dict(beam_width=12, prune_k=8, word_ex=ex,
+                  lm_alpha=0.7, lm_beta=0.3)
+        nat = beam_search_native(lp, **kw)
+        if nat is None:
+            pytest.skip("native decoder unavailable")
+        py = beam_search_python(lp, **kw)
+        assert nat[0] == py[0], f"trial {trial}: {nat} vs {py}"
+        assert nat[1] == pytest.approx(py[1], rel=1e-3, abs=5e-3)
