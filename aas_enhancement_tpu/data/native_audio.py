@@ -18,13 +18,13 @@ from __future__ import annotations
 import ctypes
 import logging
 import os
-import subprocess
 
 import numpy as np
 
-_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.dirname(os.path.abspath(__file__)))), "native")
-_LIB_PATH = os.path.join(_NATIVE_DIR, "build", "libwavbatch.so")
+from aas_enhancement_tpu.utils import native_build
+
+_NATIVE_DIR = native_build.NATIVE_DIR
+_LIB_PATH = native_build.lib_path("libwavbatch.so")
 
 _log = logging.getLogger(__name__)
 
@@ -41,12 +41,7 @@ def build(timeout: float = 120.0) -> bool:
     The one sanctioned way to compile from python (setup scripts, tests) —
     the data path itself never builds implicitly."""
     global _lib, _lib_tried
-    try:
-        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                       capture_output=True, timeout=timeout)
-    except (subprocess.SubprocessError, OSError) as e:
-        _log.warning("native wav decoder build failed (%s); the python "
-                     "reader will be used", e)
+    native_build.build(timeout)
     _lib, _lib_tried = None, False        # force a fresh CDLL attempt
     return available()
 

@@ -1,31 +1,50 @@
 """CTC beam search: ctypes binding to the native C++ decoder + python fallback.
 
 Reference parity: the optional `ctcdecode` C++ beam decoder (SURVEY.md §2
-"NATIVE: ctcdecode", rebuild obligation #3).  The shared library is built from
-native/ctc_beam/ctc_beam.cc (`make -C native`); if it is missing we build it on
-first use, and if no compiler exists we fall back to the pure-python reference
-implementation of the same prefix-beam-search algorithm (also the correctness
-oracle in tests/test_beam.py).
+"NATIVE: ctcdecode", rebuild obligation #3).  Build the shared library
+EXPLICITLY with `make -C native` (or `build()` here); loading never shells
+out (same policy as data/native_audio.py — an implicit compile could stall
+an eval for up to 120 s or pick up a mid-edit source tree).  When the
+library is absent we log once and fall back to the pure-python reference
+implementation of the same prefix-beam-search algorithm (also the
+correctness oracle in tests/test_beam.py).
 """
 
 from __future__ import annotations
 
 import ctypes
+import logging
 import math
 import os
-import subprocess
 from collections import defaultdict
 
 import numpy as np
 
 from aas_enhancement_tpu.labels import BLANK_ID, LABELS
+from aas_enhancement_tpu.utils import native_build
 
-_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.dirname(os.path.abspath(__file__)))), "native")
-_LIB_PATH = os.path.join(_NATIVE_DIR, "build", "libctcbeam.so")
+_NATIVE_DIR = native_build.NATIVE_DIR
+_LIB_PATH = native_build.lib_path("libctcbeam.so")
+
+_log = logging.getLogger(__name__)
 
 _lib = None
 _lib_tried = False
+
+
+def build(timeout: float = 120.0) -> bool:
+    """Explicitly (re)build the native decoder; returns availability.
+
+    The one sanctioned way to compile from python (setup scripts, tests) —
+    the decode path itself never builds implicitly."""
+    global _lib, _lib_tried
+    native_build.build(timeout)
+    _lib, _lib_tried = None, False        # force a fresh CDLL attempt
+    return available()
+
+
+def available() -> bool:
+    return _load_lib() is not None
 
 
 def _load_lib():
@@ -33,16 +52,16 @@ def _load_lib():
     if _lib is not None or _lib_tried:
         return _lib
     _lib_tried = True
+    if not os.path.exists(_LIB_PATH):
+        _log.info("native beam decoder not built (%s missing) — using the "
+                  "pure-python decoder; run `make -C native` to enable it",
+                  _LIB_PATH)
+        return None
     src = os.path.join(_NATIVE_DIR, "ctc_beam", "ctc_beam.cc")
-    stale = (os.path.exists(_LIB_PATH) and os.path.exists(src)
-             and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH))
-    if not os.path.exists(_LIB_PATH) or stale:
-        try:
-            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                           capture_output=True, timeout=120)
-        except (subprocess.SubprocessError, OSError):
-            if not os.path.exists(_LIB_PATH):
-                return None
+    if os.path.exists(src) and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH):
+        _log.warning("native beam decoder source is newer than %s — using "
+                     "the existing library; run `make -C native` to refresh",
+                     _LIB_PATH)
     try:
         lib = ctypes.CDLL(_LIB_PATH)
         lib.ctc_beam_search.restype = ctypes.c_int

@@ -213,12 +213,16 @@ def bench_enhance(batch_size: int = 8, seconds: float = 8.0, iters: int = 10) ->
     return {"enhance_rtf": rtf, "enhance_xrt": 1.0 / rtf}
 
 
-def _probe_backend(timeout_s: int = 90) -> None:
-    """Fail fast if the device backend is unreachable.
+def _probe_backend(timeout_s: int = 90, attempts: int = 3,
+                   retry_wait_s: float = 60.0) -> None:
+    """Fail fast if the device backend is unreachable — after a bounded retry.
 
     The axon tunnel can go down mid-session, and then ANY backend touch
     blocks forever (no exception) — a hung bench is worse than a failed one,
     so probe with a tiny subprocess matmul under a hard timeout first.
+    Transient outages void driver artifacts (round 3's BENCH_r03 was rc=1
+    because of one bad minute — VERDICT r3 #4), so the probe retries up to
+    `attempts` times over at most ~5 minutes before giving up.
     """
     import subprocess
     import sys
@@ -226,16 +230,25 @@ def _probe_backend(timeout_s: int = 90) -> None:
     code = ("import jax, jax.numpy as jnp;"
             "x = jnp.ones((8, 8));"
             "print(float((x @ x)[0, 0]))")
-    try:
-        proc = subprocess.run([sys.executable, "-c", code],
-                              capture_output=True, text=True,
-                              timeout=timeout_s)
-    except subprocess.TimeoutExpired:
-        raise SystemExit(f"bench: device backend unreachable (probe exceeded "
-                         f"{timeout_s}s — tunnel down?); not benchmarking")
-    if proc.returncode != 0:
-        raise SystemExit("bench: device probe failed:\n"
-                         + proc.stderr.strip()[-2000:])
+    last_err = ""
+    for attempt in range(1, attempts + 1):
+        try:
+            proc = subprocess.run([sys.executable, "-c", code],
+                                  capture_output=True, text=True,
+                                  timeout=timeout_s)
+            if proc.returncode == 0:
+                return
+            last_err = "device probe failed:\n" + proc.stderr.strip()[-2000:]
+        except subprocess.TimeoutExpired:
+            last_err = (f"device backend unreachable (probe exceeded "
+                        f"{timeout_s}s — tunnel down?)")
+        if attempt < attempts:
+            print(f"bench: probe attempt {attempt}/{attempts} failed "
+                  f"({last_err.splitlines()[0]}); retrying in "
+                  f"{retry_wait_s:.0f}s", file=sys.stderr)
+            time.sleep(retry_wait_s)
+    raise SystemExit(f"bench: {last_err}; not benchmarking "
+                     f"(after {attempts} attempts)")
 
 
 def main() -> None:

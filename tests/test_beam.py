@@ -76,3 +76,22 @@ def test_beam_decode_strings():
         lp[i, c] = -0.01
     out = beam_decode(lp[None], beam_width=8)
     assert out == ["AB"]
+
+
+def test_decode_path_never_builds_implicitly(monkeypatch):
+    """Loading/decoding must never shell out to make (VERDICT r3 #5):
+    compiling belongs to the explicit build() entry point only."""
+    import subprocess
+
+    import aas_enhancement_tpu.decode.beam as beam_mod
+
+    def forbid(*args, **kwargs):
+        raise AssertionError(f"decode path invoked subprocess.run({args[0]!r})")
+
+    monkeypatch.setattr(subprocess, "run", forbid)
+    # Force a fresh library-load attempt with subprocess forbidden.
+    monkeypatch.setattr(beam_mod, "_lib", None)
+    monkeypatch.setattr(beam_mod, "_lib_tried", False)
+    lp = _rand_log_probs(6, 5)
+    out = beam_decode(lp[None], beam_width=4)
+    assert len(out) == 1
