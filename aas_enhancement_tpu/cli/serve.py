@@ -4,10 +4,28 @@ Loads a trained enhancer checkpoint and serves concurrent live sessions over
 TCP — every connected stream's next block runs in ONE jitted program per tick
 (streaming.BatchedStreamingEnhancer; protocol in serve.py).
 
+Defaults encode the round-3 MEASURED deployment recipe (VERDICT r3 #6):
+
+- Operating point: 1.0 s chunk / 0.5 s history always; lookahead 0.5 s in
+  transcribe mode (the live-pipeline sweep's best — live_pipeline_r3.json:
+  hybrid WER 11.3% at (1.0, 0.5, 0.5) vs 15.6% at lookahead 0.2) but 0.2 s
+  in enhance mode (the enhancer-only sweep's knee — streaming_sweep_r3.json:
+  longer lookahead buys the enhancer nothing and costs 300 ms latency).
+- Weights: streaming-finetuned enhancer weights HELP the LM-less greedy
+  transcripts that transcribe mode emits, but HURT under the hybrid beam
+  rescore that offline consumers of enhanced AUDIO typically apply
+  (streaming_finetune_r3.json / hybrid_fusion_r3.json
+  streaming_finetune_interaction).  `--weights auto` therefore picks the
+  streaming-finetuned checkpoint (when one is given via
+  `--streaming-checkpoint`) in transcribe mode and the base checkpoint in
+  enhance mode.
+
 Usage:
   python -m aas_enhancement_tpu.cli.serve --checkpoint ck_aas \
+      [--streaming-checkpoint ck_aas_stream_ft] [--transcribe] \
+      [--weights auto|offline|streaming] \
       [--host 127.0.0.1] [--port 7207] [--max-streams 64] \
-      [--chunk 1.0] [--lookahead 0.2] [--history 0.5]
+      [--chunk 1.0] [--lookahead MODE-DEPENDENT] [--history 0.5]
 """
 
 from __future__ import annotations
@@ -16,17 +34,57 @@ import argparse
 import json
 import time
 
+# The measured-best operating points (live_pipeline_r3.json chosen_point and
+# streaming_sweep_r3.json).  Tests pin these — change only with a new sweep.
+DEFAULT_CHUNK_S = 1.0
+DEFAULT_HISTORY_S = 0.5
+DEFAULT_LOOKAHEAD_S = {"transcribe": 0.5, "enhance": 0.2}
+
+
+def resolve_operating_point(transcribe: bool, chunk: float | None,
+                            lookahead: float | None,
+                            history: float | None) -> tuple[float, float, float]:
+    """CLI overrides fall back to the measured-best deployment point."""
+    mode = "transcribe" if transcribe else "enhance"
+    return (DEFAULT_CHUNK_S if chunk is None else chunk,
+            DEFAULT_LOOKAHEAD_S[mode] if lookahead is None else lookahead,
+            DEFAULT_HISTORY_S if history is None else history)
+
+
+def pick_weights(weights: str, transcribe: bool,
+                 have_streaming: bool) -> str:
+    """'offline' or 'streaming' per the measured interaction (module doc)."""
+    if weights == "auto":
+        return "streaming" if (transcribe and have_streaming) else "offline"
+    if weights == "streaming" and not have_streaming:
+        raise SystemExit("--weights streaming needs --streaming-checkpoint")
+    return weights
+
 
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--checkpoint", required=True,
                    help="train-CLI checkpoint dir with enhancer params")
+    p.add_argument("--streaming-checkpoint", default="",
+                   help="optional streaming-finetuned checkpoint dir "
+                        "(scripts/streaming_finetune_eval.py); used by "
+                        "--weights auto in transcribe mode")
+    p.add_argument("--weights", choices=("auto", "offline", "streaming"),
+                   default="auto",
+                   help="which enhancer weights to serve (auto = the "
+                        "measured-best per mode; see module docstring)")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=7207)
     p.add_argument("--max-streams", type=int, default=64)
-    p.add_argument("--chunk", type=float, default=1.0)
-    p.add_argument("--lookahead", type=float, default=0.2)
-    p.add_argument("--history", type=float, default=0.5)
+    p.add_argument("--chunk", type=float, default=None,
+                   help=f"block seconds (default {DEFAULT_CHUNK_S})")
+    p.add_argument("--lookahead", type=float, default=None,
+                   help="lookahead seconds (default "
+                        f"{DEFAULT_LOOKAHEAD_S['transcribe']} transcribe / "
+                        f"{DEFAULT_LOOKAHEAD_S['enhance']} enhance — the "
+                        "measured-best points)")
+    p.add_argument("--history", type=float, default=None,
+                   help=f"history seconds (default {DEFAULT_HISTORY_S})")
     p.add_argument("--transcribe", action="store_true",
                    help="serve live TRANSCRIPTS (enhancer + AM per block; "
                         "checkpoint must carry acoustic-model params) — "
@@ -39,25 +97,40 @@ def main(argv=None) -> None:
     from aas_enhancement_tpu.serve import EnhanceServer
     from aas_enhancement_tpu.train.loop import load_state
 
+    chunk, lookahead, history = resolve_operating_point(
+        args.transcribe, args.chunk, args.lookahead, args.history)
+    which = pick_weights(args.weights, args.transcribe,
+                         bool(args.streaming_checkpoint))
+
     state, cfg = load_state(args.checkpoint)
-    if not state.g_params and not (args.transcribe and state.am_params):
+    g_params = state.g_params
+    if which == "streaming":
+        ft_state, _ = load_state(args.streaming_checkpoint)
+        if not ft_state.g_params:
+            raise SystemExit(f"{args.streaming_checkpoint}: checkpoint has "
+                             f"no enhancer params")
+        g_params = ft_state.g_params
+    if not g_params and not (args.transcribe and state.am_params):
         raise SystemExit(f"{args.checkpoint}: checkpoint has no enhancer "
                          f"(objective was {cfg.train.objective!r})")
     if args.transcribe and not state.am_params:
         raise SystemExit(f"{args.checkpoint}: --transcribe needs acoustic-"
                          f"model params (train objective 'am' or 'aas')")
 
-    server = EnhanceServer(cfg, state.g_params, host=args.host,
+    server = EnhanceServer(cfg, g_params, host=args.host,
                            port=args.port, max_streams=args.max_streams,
-                           chunk_seconds=args.chunk,
-                           lookahead_seconds=args.lookahead,
-                           history_seconds=args.history,
+                           chunk_seconds=chunk,
+                           lookahead_seconds=lookahead,
+                           history_seconds=history,
                            am_params=(state.am_params if args.transcribe
                                       else None)).start()
     print(json.dumps({"serving": f"{server.address[0]}:{server.address[1]}",
                       "mode": "transcribe" if args.transcribe else "enhance",
+                      "weights": which,
+                      "chunk_s": chunk, "lookahead_s": lookahead,
+                      "history_s": history,
                       "max_streams": args.max_streams,
-                      "latency_s": args.chunk + args.lookahead}), flush=True)
+                      "latency_s": chunk + lookahead}), flush=True)
     try:
         while True:
             time.sleep(3600)

@@ -6,24 +6,23 @@ ctcdecode").  KenLM itself is absent from this image, but the ARPA text format
 is the lingua franca of n-gram tooling (KenLM, SRILM, IRSTLM all emit it), so
 this module makes the rebuild interchangeable with that ecosystem:
 
-- `ArpaWordLM.load_arpa(path)` reads an ARPA file and exposes the SAME fusion
-  contract as `decode.lm.WordNGramLM` (is_word_lm / logp / oov_logp /
+- `ArpaWordLM.load_arpa(path)` reads an ARPA file of ANY order and exposes the
+  SAME fusion contract as `decode.lm.WordNGramLM` (is_word_lm / logp /
   export_native), so `evaluate --word-lm model.arpa` just works, python and
-  native C++ beam alike.
+  native C++ beam alike.  Every order in the file is kept: the sparse n-gram
+  store (decode/ngram.py) replaces round-3's dense bigram table, the beam
+  carries (order-1) words of left context, and memory is O(#n-grams) — a real
+  KenLM trigram/4-gram over a 5k-50k-word vocabulary loads whole.
 - `export_arpa(word_lm, path)` writes a `WordNGramLM` out as a bigram ARPA
   file.  The round trip is exact to text-float precision (test_arpa.py).
 
 Scope notes (documented, deliberate):
-- The beam tracks ONE word of left context (the dense [(W+2), W] table the
-  C++ decoder consumes — `WordNGramLM.export_native`), so ARPA orders > 2 are
-  truncated to their 1-/2-gram sections on load; `self.order` records the
-  file's true order and a warning field carries the truncation.
 - ARPA stores log10 probabilities; everything here is converted to natural
   log at parse time (the fusion contract's unit).
 - Words are case-folded to the label charset (labels.encode convention);
   vocabulary entries containing characters outside the charset are kept for
-  context scoring but excluded from `export_native`'s word list — the CTC
-  decoder can never emit them.
+  context scoring but excluded from the emittable lexicon — the CTC decoder
+  can never emit them.
 - Stupid backoff is not a normalized model, so `export_arpa` writes its
   constant per-context backoff weight (log10 0.4) as each unigram's backoff
   field — standard practice when interchanging stupid-backoff models.
@@ -43,14 +42,13 @@ _SPECIALS = ("<s>", "</s>", "<unk>")
 
 
 class ArpaWordLM:
-    """Word LM backed by an ARPA file, fused like `WordNGramLM`.
+    """Word n-gram LM backed by an ARPA file, fused like `WordNGramLM`.
 
-    Scoring contract (natural log):
-      logp(w | prev)   explicit bigram if present, else backoff(prev) +
-                       unigram(w); prev=None means sentence start (`<s>`).
-      OOV words        flat `oov_logp` = backoff(<unk>) + P(<unk>) in every
-                       context (the native table scores OOV flat — same
-                       behavior as WordNGramLM.oov_logp).
+    Storage is LM-id space: `vocab` lists unigrams in file order (position =
+    LM id), `uni_logp`/`uni_backoff` are dense [vlm] arrays, and `ngrams[n-2]`
+    maps order-n id tuples -> (logp_ln, backoff_ln).  Scoring is standard ARPA
+    backoff through `decode.ngram.score_export` — the exact arithmetic the
+    native C++ decoder replays (shared contract, decode/ngram.py docstring).
     """
 
     is_word_lm = True
@@ -58,10 +56,11 @@ class ArpaWordLM:
     def __init__(self, labels: str = LABELS):
         self.labels = labels
         self.order = 0
-        self.truncated = False      # True when the file had orders > 2
-        # word -> (logp_ln, backoff_ln); bigram (a, b) -> logp_ln
-        self.uni: dict[str, tuple[float, float]] = {}
-        self.bi: dict[tuple[str, str], float] = {}
+        self.vocab: list[str] = []
+        self.wid: dict[str, int] = {}
+        self.uni_logp: list[float] = []
+        self.uni_backoff: list[float] = []
+        self.ngrams: list[dict] = []      # per order n = 2..order
         self._native = None
 
     # ------------------------------------------------------------- parsing
@@ -85,26 +84,42 @@ class ArpaWordLM:
                 if s.startswith("ngram "):
                     n = int(s[len("ngram "):].split("=")[0])
                     lm.order = max(lm.order, n)
+                    while len(lm.ngrams) < lm.order - 1:
+                        lm.ngrams.append({})
                     continue
                 if s.startswith("\\") and s.endswith("-grams:"):
                     section = int(s[1:].split("-")[0])
-                    if section > 2:
-                        lm.truncated = True
+                    lm.order = max(lm.order, section)
+                    while len(lm.ngrams) < lm.order - 1:
+                        lm.ngrams.append({})
                     continue
-                if section == 0 or section > 2:
+                if section == 0:
                     continue
                 fields = s.split()
-                # logp  w1 [w2]  [backoff]
+                # logp  w1 ... wn  [backoff]
                 logp = float(fields[0]) * _LN10
-                words = fields[1:1 + section]
+                words = [lm._fold(w) for w in fields[1:1 + section]]
                 rest = fields[1 + section:]
                 backoff = float(rest[0]) * _LN10 if rest else 0.0
-                words = [lm._fold(w) for w in words]
                 if section == 1:
-                    lm.uni[words[0]] = (logp, backoff)
+                    w = words[0]
+                    i = lm.wid.get(w)
+                    if i is None:               # first sight defines the id
+                        lm.wid[w] = len(lm.vocab)
+                        lm.vocab.append(w)
+                        lm.uni_logp.append(logp)
+                        lm.uni_backoff.append(backoff)
+                    else:                       # case-fold collision: last wins
+                        lm.uni_logp[i] = logp
+                        lm.uni_backoff[i] = backoff
                 else:
-                    lm.bi[(words[0], words[1])] = logp
-        if not lm.uni:
+                    ids = tuple(lm.wid.get(w, -1) for w in words)
+                    if -1 in ids:
+                        # Word never declared as a unigram (malformed file);
+                        # an n-gram over it could never be looked up — drop.
+                        continue
+                    lm.ngrams[section - 2][ids] = (logp, backoff)
+        if not lm.vocab:
             raise ValueError(f"{path}: no 1-grams parsed")
         return lm
 
@@ -114,76 +129,59 @@ class ArpaWordLM:
 
     # ------------------------------------------------------------- scoring
     @property
-    def _unk_logp(self) -> float:
-        ent = self.uni.get("<unk>")
-        if ent is not None:
-            return ent[0]
-        # No <unk> entry: uniform floor under the vocabulary size.
-        return -math.log(len(self.uni) + 1.0) + 2 * _BACKOFF
+    def unk_id(self) -> int:
+        return self.wid.get("<unk>", -1)
+
+    @property
+    def bos_id(self) -> int:
+        return self.wid.get("<s>", -1)
+
+    @property
+    def floor_logp(self) -> float:
+        """Score of a word absent even as a unigram when the model has no
+        <unk>: uniform floor under the vocabulary size, fully backed off."""
+        return -math.log(len(self.vocab) + 1.0) + 2 * _BACKOFF
 
     @property
     def oov_logp(self) -> float:
-        bo = self.uni.get("<unk>", (0.0, _BACKOFF))[1]
-        return bo + self._unk_logp
+        """Flat OOV score in an empty context (back-compat diagnostic)."""
+        u = self.unk_id
+        if u >= 0:
+            return self.uni_backoff[u] + self.uni_logp[u]
+        return _BACKOFF + self.floor_logp
 
-    def _backoff_of(self, prev: str) -> float:
-        ent = self.uni.get(prev)
-        if ent is not None:
-            return ent[1]
-        return self.uni.get("<unk>", (0.0, _BACKOFF))[1]
+    def _lm_id(self, word: str | None) -> int:
+        if word is None:
+            return self.bos_id
+        return self.wid.get(self._fold(word), self.unk_id)
 
-    def logp(self, word: str, prev: str | None = None) -> float:
-        """log P(word | prev), natural log; prev None = sentence start."""
+    def logp(self, word: str, prev=None) -> float:
+        """log P(word | prev), natural log.  `prev` is a single word, None
+        (sentence start = `<s>` context), or a SEQUENCE of words oldest-first
+        for higher-order contexts."""
         if not word:
             return 0.0
-        w = self._fold(word)
-        p = "<s>" if prev is None else self._fold(prev)
-        if w not in self.uni:
-            return self._backoff_of(p) + self._unk_logp
-        hit = self.bi.get((p, w))
-        if hit is not None:
-            return hit
-        return self._backoff_of(p) + self.uni[w][0]
+        from aas_enhancement_tpu.decode import ngram
+        if prev is None or isinstance(prev, str):
+            ctx = [self._lm_id(prev)]
+        else:
+            ctx = [self._lm_id(p) for p in prev]
+        return ngram.score_export(self.export_native(), ctx,
+                                  self._lm_id(word))
 
     # ------------------------------------------------------- native export
     def export_native(self):
-        """Same flat-array dict as `WordNGramLM.export_native` (the shared
-        contract with native/ctc_beam/ctc_beam.cc and the python fallback)."""
-        if self._native is not None:
-            return self._native
-        char_to_id = {c: i for i, c in enumerate(self.labels)}
-        words = sorted(w for w in self.uni
-                       if w not in _SPECIALS and w
-                       and all(c in char_to_id for c in w))
-        if not words:
-            raise ValueError("ARPA LM has no words expressible in the "
-                             f"label charset {self.labels!r}")
-        n = len(words)
-        ids, offsets = [], [0]
-        for w in words:
-            ids.extend(char_to_id[c] for c in w)
-            offsets.append(len(ids))
-        table = np.empty((n + 2, n), np.float32)
-        unk_bo = self.uni.get("<unk>", (0.0, _BACKOFF))[1]
-        for j, w in enumerate(words):
-            table[n, j] = self.logp(w, prev=None)
-            table[n + 1, j] = unk_bo + self.uni[w][0]   # OOV-prev row
-        for i, p in enumerate(words):
-            for j, w in enumerate(words):
-                table[i, j] = self.logp(w, prev=p)
-        id_words = {tuple(ids[offsets[i]: offsets[i + 1]]): i
-                    for i in range(n)}
-        self._native = {
-            "word_ids": np.asarray(ids, np.int32),
-            "word_offsets": np.asarray(offsets, np.int32),
-            "n_words": n,
-            "table": table,
-            "oov_logp": float(self.oov_logp),
-            "space_id": self.labels.index(" "),
-            "words": words,
-            "wid": {w: i for i, w in enumerate(words)},
-            "id_words": id_words,
-        }
+        """Sparse-export dict (decode/ngram.py shared contract with
+        native/ctc_beam/ctc_beam.cc and the python fallback); cached."""
+        if self._native is None:
+            from aas_enhancement_tpu.decode import ngram
+            self._native = ngram.build_export(
+                max(self.order, 1), self.vocab,
+                np.asarray(self.uni_logp, np.float32),
+                np.asarray(self.uni_backoff, np.float32),
+                self.ngrams, labels=self.labels,
+                space_id=self.labels.index(" "),
+                floor_logp=self.floor_logp)
         return self._native
 
 
@@ -193,7 +191,7 @@ def export_arpa(word_lm, path: str) -> None:
     The written file reloads through `ArpaWordLM.load_arpa` with scoring
     equal to the source model to text-float precision, for every case the
     fusion contract exercises: seen/unseen bigrams, sentence-initial words,
-    OOV words, and the OOV-previous-context table row.
+    OOV words, and OOV previous contexts.
     """
     if not getattr(word_lm, "is_word_lm", False):
         raise ValueError("export_arpa needs a word LM (WordNGramLM)")

@@ -80,15 +80,27 @@ def _load_lib():
             ctypes.POINTER(ctypes.c_int), ctypes.c_int,
             ctypes.POINTER(ctypes.c_float),
         ]
+        # Sparse word-LM arg block (decode/ngram.py shared contract): the
+        # same 15 parameters appear in the wlm and hybrid entry points.
+        wlm_args = [
+            ctypes.c_int,                                   # space_id
+            ctypes.POINTER(ctypes.c_uint64),                # word_hash
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int,     # word_lm_id, n
+            ctypes.c_int, ctypes.c_int,                     # order, vlm
+            ctypes.POINTER(ctypes.c_float),                 # uni_logp
+            ctypes.POINTER(ctypes.c_float),                 # uni_backoff
+            ctypes.POINTER(ctypes.c_uint64),                # ngram_keys
+            ctypes.POINTER(ctypes.c_float),                 # ngram_logp
+            ctypes.POINTER(ctypes.c_float),                 # ngram_backoff
+            ctypes.POINTER(ctypes.c_int64),                 # ngram_counts
+            ctypes.c_int, ctypes.c_int,                     # bos_id, unk_id
+            ctypes.c_float,                                 # floor_logp
+        ]
         lib.ctc_beam_search_wlm.restype = ctypes.c_int
         lib.ctc_beam_search_wlm.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_int,                                   # space_id
-            ctypes.POINTER(ctypes.c_int),                   # word_ids blob
-            ctypes.POINTER(ctypes.c_int), ctypes.c_int,     # offsets, n_words
-            ctypes.POINTER(ctypes.c_float),                 # [(W+2), W] table
-            ctypes.c_float,                                 # oov_logp
+            *wlm_args,
             ctypes.c_float, ctypes.c_float,                 # alpha, beta
             ctypes.POINTER(ctypes.c_int), ctypes.c_int,
             ctypes.POINTER(ctypes.c_float),
@@ -99,11 +111,7 @@ def _load_lib():
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_float), ctypes.c_int,   # char table, order
             ctypes.c_float, ctypes.c_float,                 # char alpha, beta
-            ctypes.c_int,                                   # space_id
-            ctypes.POINTER(ctypes.c_int),
-            ctypes.POINTER(ctypes.c_int), ctypes.c_int,
-            ctypes.POINTER(ctypes.c_float),
-            ctypes.c_float,                                 # oov_logp
+            *wlm_args,
             ctypes.c_float, ctypes.c_float,                 # word alpha, beta
             ctypes.POINTER(ctypes.c_int), ctypes.c_int,
             ctypes.POINTER(ctypes.c_float),
@@ -112,6 +120,36 @@ def _load_lib():
     except (OSError, AttributeError):
         _lib = None
     return _lib
+
+
+def _wlm_native_args(ex: dict):
+    """Flatten a sparse export (decode/ngram.py) into the shared 15-parameter
+    C arg block.  Returns (args_tuple, keepalive_list) — the caller must hold
+    the keepalive until the native call returns."""
+    wh = np.ascontiguousarray(ex["word_hash"], np.uint64)
+    wl = np.ascontiguousarray(ex["word_lm_id"], np.int32)
+    ul = np.ascontiguousarray(ex["uni_logp"], np.float32)
+    ub = np.ascontiguousarray(ex["uni_backoff"], np.float32)
+    nk = np.ascontiguousarray(ex["ngram_keys"], np.uint64)
+    nl = np.ascontiguousarray(ex["ngram_logp"], np.float32)
+    nb = np.ascontiguousarray(ex["ngram_backoff"], np.float32)
+    nc = np.ascontiguousarray(ex["ngram_counts"], np.int64)
+    if nc.size == 0:                      # order-1 model: C++ still reads the
+        nc = np.zeros(1, np.int64)        # counts pointer defensively
+    args = (
+        int(ex["space_id"]),
+        wh.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        wl.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), int(ex["n_words"]),
+        int(ex["order"]), int(ex["vlm"]),
+        ul.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ub.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        nk.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        nl.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        nb.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        nc.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        int(ex["bos_id"]), int(ex["unk_id"]), float(ex["floor_logp"]),
+    )
+    return args, [wh, wl, ul, ub, nk, nl, nb, nc]
 
 
 def beam_search_native(log_probs: np.ndarray, beam_width: int = 32,
@@ -134,9 +172,7 @@ def beam_search_native(log_probs: np.ndarray, beam_width: int = 32,
     out = np.zeros(max_out, np.int32)
     score = ctypes.c_float(0.0)
     if word_ex is not None and lm_table is not None:
-        wids = np.ascontiguousarray(word_ex["word_ids"], np.int32)
-        offs = np.ascontiguousarray(word_ex["word_offsets"], np.int32)
-        wtable = np.ascontiguousarray(word_ex["table"], np.float32)
+        wargs, keep = _wlm_native_args(word_ex)
         ctable = np.ascontiguousarray(lm_table, dtype=np.float32)
         if ctable.size != v ** lm_order:
             raise ValueError(f"LM table has {ctable.size} entries, expected "
@@ -145,30 +181,20 @@ def beam_search_native(log_probs: np.ndarray, beam_width: int = 32,
             lp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), t, v,
             beam_width, blank, prune_k,
             ctable.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), lm_order,
-            lm_alpha, lm_beta, word_ex["space_id"],
-            wids.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-            word_ex["n_words"],
-            wtable.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            word_ex["oov_logp"], word_alpha, word_beta,
+            lm_alpha, lm_beta, *wargs, word_alpha, word_beta,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), max_out,
             ctypes.byref(score))
+        del keep
     elif word_ex is not None:
         if word_alpha == 0.0 and lm_alpha != 0.0:   # back-compat single-LM
             word_alpha, word_beta = lm_alpha, lm_beta
-        wids = np.ascontiguousarray(word_ex["word_ids"], np.int32)
-        offs = np.ascontiguousarray(word_ex["word_offsets"], np.int32)
-        table = np.ascontiguousarray(word_ex["table"], np.float32)
+        wargs, keep = _wlm_native_args(word_ex)
         n = lib.ctc_beam_search_wlm(
             lp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), t, v,
-            beam_width, blank, prune_k, word_ex["space_id"],
-            wids.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-            word_ex["n_words"],
-            table.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            word_ex["oov_logp"], word_alpha, word_beta,
+            beam_width, blank, prune_k, *wargs, word_alpha, word_beta,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), max_out,
             ctypes.byref(score))
+        del keep
     elif lm_table is not None:
         table = np.ascontiguousarray(lm_table, dtype=np.float32)
         if table.size != v ** lm_order:
@@ -192,43 +218,47 @@ def beam_search_native(log_probs: np.ndarray, beam_width: int = 32,
     return list(out[:n]), float(score.value)
 
 
-def _trailing_word_and_prev(prefix, space: int):
-    """Trailing (possibly empty) word of a prefix + its nearest non-empty
-    predecessor segment, as id tuples (None = sentence-initial).  Shared
-    word-boundary contract with the native decoder."""
+def _trailing_word_and_context(prefix, space: int, max_ctx: int):
+    """Trailing (possibly empty) word of a prefix + up to `max_ctx` previous
+    NON-EMPTY segments (runs of spaces collapse), oldest first, + whether the
+    backward walk reached the prefix start with context slots to spare.
+    Shared word-boundary contract with the native decoder (WordBonus)."""
     i = len(prefix) - 1
     while i >= 0 and prefix[i] != space:
         i -= 1
     word = tuple(prefix[i + 1:])
-    end, prev = i, None
-    while end >= 0:
+    segs = []                              # newest first
+    end = i
+    reached_start = i < 0
+    while not reached_start and len(segs) < max_ctx:
         j = end - 1
         while j >= 0 and prefix[j] != space:
             j -= 1
-        seg = tuple(prefix[j + 1: end])
-        if seg:
-            prev = seg
-            break
+        if end - 1 - j > 0:
+            segs.append(tuple(prefix[j + 1: end]))
+        if j < 0:
+            reached_start = True
         end = j
-    return word, prev
+    return word, segs[::-1], reached_start
 
 
 def word_bonus(prefix, alpha: float, beta: float, ex: dict) -> float:
     """Fusion score for COMPLETING the trailing word of `prefix`
-    (alpha * logp(word|prev) + beta); 0 when the trailing segment is empty.
-    Scores THROUGH the exported dense table so python == native exactly."""
-    word, prev = _trailing_word_and_prev(prefix, ex["space_id"])
+    (alpha * logp(word | up to order-1 previous words) + beta); 0 when the
+    trailing segment is empty.  Scores through the sparse export's ARPA
+    backoff (decode/ngram.py) — the exact arithmetic the C++ decoder replays.
+    When the walk reaches the prefix start with context room left, the oldest
+    slot becomes <s> (if the model has one)."""
+    from aas_enhancement_tpu.decode import ngram
+    word, segs, reached_start = _trailing_word_and_context(
+        prefix, ex["space_id"], ex["order"] - 1)
     if not word:
         return 0.0
-    wi = ex["id_words"].get(word)
-    if wi is None:
-        return alpha * ex["oov_logp"] + beta
-    if prev is None:
-        row = ex["n_words"]                                   # BOS
-    else:
-        pi = ex["id_words"].get(prev)
-        row = pi if pi is not None else ex["n_words"] + 1     # OOV prev
-    return alpha * float(ex["table"][row, wi]) + beta
+    w = ngram.lookup_word(ex, word)
+    ctx = [ngram.lookup_word(ex, s) for s in segs]
+    if reached_start and len(ctx) < ex["order"] - 1 and ex["bos_id"] >= 0:
+        ctx.insert(0, ex["bos_id"])
+    return alpha * ngram.score_export(ex, ctx, w) + beta
 
 
 def beam_search_python(log_probs: np.ndarray, beam_width: int = 32,

@@ -151,10 +151,12 @@ class WordNGramLM:
     bigram -> 0.4*unigram -> 0.4^2*OOV-floor (same stupid-backoff scheme as
     CharNGramLM).
 
-    Native export (`export_native`) flattens the model for C++: the word list
-    as a label-id blob + offsets, and a dense [(W+1), W] bigram log-prob table
-    whose last row is the BOS/unseen-context distribution; OOV words get a
-    single flat `oov_logp` regardless of context.
+    Native export (`export_native`) emits the SPARSE n-gram store the C++
+    decoder consumes (decode/ngram.py shared contract): the stupid-backoff
+    bigram model maps exactly onto ARPA-backoff form with every context's
+    backoff weight equal to the constant ln(0.4) penalty, `<s>` carrying the
+    sentence-initial (BOS-count) bigrams, and `<unk>`'s unigram chosen so an
+    OOV word scores the historical flat `oov_logp` in every context.
     """
 
     is_word_lm = True
@@ -234,45 +236,36 @@ class WordNGramLM:
 
     # ------------------------------------------------------- native export
     def export_native(self):
-        """-> dict of flat arrays for the C++ decoder (cached).
+        """-> sparse-export dict (decode/ngram.py contract) for the C++
+        decoder and the python fallback (cached).
 
-        words get deterministic sorted ids; `table` is [(W+2), W]:
-          row p < W   logp(words[w] | words[p])
-          row W       logp(words[w] | BOS)           (sentence-initial word)
-          row W+1     logp(words[w] | OOV prev)      (= backoff + unigram)
-        OOV words themselves score the flat `oov_logp` in every context.
-        The python fallback scores THROUGH this same table (word_table_score)
-        so python and native fusion match bit for bit."""
+        The stupid-backoff bigram maps EXACTLY onto ARPA-backoff form:
+          bo(ctx) = ln(0.4) for every context (incl. <s> and <unk>), so an
+          unseen bigram scores ln(0.4) + P(w) — the historical backoff path;
+          explicit bigrams (prev, w) and (<s>, w) keep their MLE log-probs;
+          uni_logp[<unk>] = ln(0.4) - ln(total + V + 1), so OOV words score
+          bo(any ctx) + P(<unk>) = `oov_logp` flat in every context."""
         if self._native is not None:
             return self._native
+        from aas_enhancement_tpu.decode import ngram
         words = sorted(self.uni)
-        wid = {w: i for i, w in enumerate(words)}
-        n = len(words)
-        char_to_id = {c: i for i, c in enumerate(self.labels)}
-        ids, offsets = [], [0]
+        vocab = ["<s>", "<unk>"] + words
+        wid = {w: i for i, w in enumerate(vocab)}
+        vlm = len(vocab)
+        uni_logp = np.full(vlm, -99.0 * math.log(10.0), np.float32)
+        uni_backoff = np.full(vlm, _BACKOFF, np.float32)
+        uni_logp[wid["<unk>"]] = _BACKOFF - math.log(
+            self.total + len(self.uni) + 1)
         for w in words:
-            ids.extend(char_to_id[c] for c in w)
-            offsets.append(len(ids))
-        table = np.empty((n + 2, n), np.float32)
-        for j, w in enumerate(words):
-            table[n, j] = self.logp(w, prev=None)
-            table[n + 1, j] = _BACKOFF + self._uni_logp(w)
-        for i, p in enumerate(words):
-            for j, w in enumerate(words):
-                table[i, j] = self.logp(w, prev=p)
-        id_words = {tuple(ids[offsets[i]: offsets[i + 1]]): i
-                    for i in range(n)}
-        self._native = {
-            "word_ids": np.asarray(ids, np.int32),
-            "word_offsets": np.asarray(offsets, np.int32),
-            "n_words": n,
-            "table": table,
-            "oov_logp": float(self.oov_logp),
-            "space_id": self.labels.index(" "),
-            "words": words,
-            "wid": wid,
-            "id_words": id_words,
-        }
+            uni_logp[wid[w]] = self._uni_logp(w)
+        bi: dict[tuple, tuple] = {}
+        for w, c in self.bos.items():
+            bi[(wid["<s>"], wid[w])] = (math.log(c / self.bos_total), 0.0)
+        for (a, b), c in self.bi.items():
+            bi[(wid[a], wid[b])] = (math.log(c / self._context_total(a)), 0.0)
+        self._native = ngram.build_export(
+            2, vocab, uni_logp, uni_backoff, [bi], labels=self.labels,
+            space_id=self.labels.index(" "), floor_logp=float(self.oov_logp))
         return self._native
 
     # ------------------------------------------------------------------- io

@@ -81,36 +81,121 @@ inline int64_t ContextIndex(const std::string& prefix, int order, int v) {
   return idx;
 }
 
-// Word-level LM (the KenLM-fusion equivalent, decode/lm.py::WordNGramLM):
-// scored once per COMPLETED word — when a space symbol is appended, and for
-// the trailing word at final ranking.  `table` is [(n+2), n]: rows 0..n-1 are
-// per-previous-word bigram log-probs, row n the BOS (sentence-initial)
-// distribution, row n+1 the OOV-previous-word backoff; OOV words themselves
-// score the flat oov_logp in every context.
+// ---------------------------------------------------------------------------
+// Sparse n-gram word LM (the scalable KenLM-parity fusion — decode/ngram.py).
+//
+// The LM arrives as per-order SORTED arrays of 64-bit hashed n-gram keys with
+// (logp, backoff) payloads, plus dense unigram arrays indexed by LM id and a
+// sorted word-hash lexicon for the beam's trailing-segment lookup.  Scored
+// once per COMPLETED word (space appended / final ranking) with standard ARPA
+// backoff over up to (order-1) words of left context.  All hashing, lookup,
+// and accumulation semantics are the SHARED CONTRACT documented in
+// decode/ngram.py — python fallback and this decoder must match bit-for-bit
+// (doubles here == float64 there).
+
+constexpr int kMaxOrder = 8;  // bound on stack context buffers; ARPA > 8-gram
+                              // does not exist in practice
+
+inline uint64_t Mix64(uint64_t z) {  // splitmix64 finalizer
+  z += 0x9E3779B97F4A7C15ull;
+  z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ull;
+  z = (z ^ (z >> 27)) * 0x94D049BB133111EBull;
+  return z ^ (z >> 31);
+}
+
+// Chained hash of an id sequence; ids may be -1 (invalid-id sentinel — the
+// +1 shift makes it XOR with 0, which stored keys never contain).
+inline uint64_t HashIds(const int32_t* ids, int n) {
+  uint64_t h = 0;
+  for (int i = 0; i < n; ++i)
+    h = Mix64(h ^ static_cast<uint64_t>(static_cast<int64_t>(ids[i]) + 1));
+  return h;
+}
+
 struct WordLm {
   int space;
-  const int32_t* ids;       // concatenated word label-ids
-  const int32_t* offsets;   // [n+1]
-  int n;
-  const float* table;       // [(n+2) * n]
-  float oov_logp;
+  // Lexicon: sorted hashes of emittable words' char-id sequences -> LM ids.
+  const uint64_t* word_hash;
+  const int32_t* word_lm_id;
+  int n_words;
+  // N-gram store.
+  int order;
+  int vlm;
+  const float* uni_logp;      // [vlm]
+  const float* uni_backoff;   // [vlm]
+  const uint64_t* keys;       // orders 2..order concatenated, sorted per order
+  const float* logp;
+  const float* backoff;
+  int64_t level_start[kMaxOrder + 2];  // [n] = start of order-n entries
+  int32_t bos_id;
+  int32_t unk_id;
+  float floor_logp;
 };
 
-// Linear scan with a length filter: eval-only path, lexicons are small
-// (~100 words); swap for a (len, lex) binary search if that ever changes.
-inline int FindWord(const WordLm& lm, const int32_t* s, int len) {
-  for (int i = 0; i < lm.n; ++i) {
-    const int wl = lm.offsets[i + 1] - lm.offsets[i];
-    if (wl != len) continue;
-    if (std::memcmp(lm.ids + lm.offsets[i], s,
-                    static_cast<size_t>(len) * sizeof(int32_t)) == 0)
-      return i;
-  }
+// char-id segment -> LM id; OOV segments map to unk_id (possibly -1).
+inline int32_t LookupWord(const WordLm& lm, const int32_t* s, int len) {
+  const uint64_t h = HashIds(s, len);
+  const uint64_t* lo = lm.word_hash;
+  const uint64_t* hi = lm.word_hash + lm.n_words;
+  const uint64_t* it = std::lower_bound(lo, hi, h);
+  if (it != hi && *it == h) return lm.word_lm_id[it - lo];
+  return lm.unk_id;
+}
+
+// Index into the concatenated arrays of the n-gram `ids` (n >= 2), or -1.
+inline int64_t FindNgram(const WordLm& lm, const int32_t* ids, int n) {
+  const int64_t start = lm.level_start[n], end = lm.level_start[n + 1];
+  if (start == end) return -1;
+  const uint64_t key = HashIds(ids, n);
+  const uint64_t* lo = lm.keys + start;
+  const uint64_t* hi = lm.keys + end;
+  const uint64_t* it = std::lower_bound(lo, hi, key);
+  if (it != hi && *it == key) return start + (it - lo);
   return -1;
 }
 
+inline bool AllValid(const int32_t* ids, int n) {
+  for (int i = 0; i < n; ++i)
+    if (ids[i] < 0) return false;
+  return true;
+}
+
+// log P(w | ctx) with ARPA backoff; ctx is LM ids OLDEST first, length
+// m <= order-1; w may be -1 (OOV in a model without <unk>).  Double
+// accumulation mirrors decode/ngram.py::score_export (float64) exactly.
+double ScoreNgram(const WordLm& lm, const int32_t* ctx, int m, int32_t w) {
+  if (m > lm.order - 1) {  // trim to the model's context length
+    ctx += m - (lm.order - 1);
+    m = lm.order - 1;
+  }
+  double bo = 0.0;
+  int32_t buf[kMaxOrder + 1];
+  for (int k = m; k >= 1; --k) {
+    const int32_t* sub = ctx + (m - k);
+    if (w >= 0 && AllValid(sub, k)) {
+      std::memcpy(buf, sub, static_cast<size_t>(k) * sizeof(int32_t));
+      buf[k] = w;
+      const int64_t i = FindNgram(lm, buf, k + 1);
+      if (i >= 0) return bo + static_cast<double>(lm.logp[i]);
+    }
+    // No explicit (sub, w): charge sub's backoff weight and shorten.
+    if (k == 1) {
+      if (sub[0] >= 0) bo += static_cast<double>(lm.uni_backoff[sub[0]]);
+    } else if (AllValid(sub, k)) {
+      const int64_t j = FindNgram(lm, sub, k);
+      if (j >= 0) bo += static_cast<double>(lm.backoff[j]);
+    }
+  }
+  if (w >= 0) return bo + static_cast<double>(lm.uni_logp[w]);
+  return bo + static_cast<double>(lm.floor_logp);
+}
+
 // Fusion score for completing the trailing word of `prefix`; 0 when the
-// trailing segment is empty.  Mirrors decode/beam.py::word_bonus exactly.
+// trailing segment is empty.  Mirrors decode/beam.py::word_bonus exactly:
+// collect up to (order-1) previous NON-EMPTY segments (runs of spaces
+// collapse) walking backwards; if the walk reaches the prefix start with
+// context slots to spare, the oldest slot becomes <s> (when the model has
+// one).
 float WordBonus(const WordLm& lm, const std::string& prefix, float alpha,
                 float beta) {
   const int n = static_cast<int>(prefix.size() / sizeof(int32_t));
@@ -119,25 +204,26 @@ float WordBonus(const WordLm& lm, const std::string& prefix, float alpha,
   while (i >= 0 && ids[i] != lm.space) --i;
   const int wlen = n - 1 - i;
   if (wlen == 0) return 0.0f;
-  const int wi = FindWord(lm, ids + i + 1, wlen);
-  if (wi < 0) return alpha * lm.oov_logp + beta;
-  // Previous NON-EMPTY segment (runs of spaces collapse), matching python.
-  int end = i, prev = -2;  // -2 = sentence-initial
-  while (end >= 0) {
+  const int32_t w = LookupWord(lm, ids + i + 1, wlen);
+
+  int32_t ctx_rev[kMaxOrder];  // newest first
+  int m = 0;
+  const int max_ctx = lm.order - 1;
+  int end = i;
+  bool reached_start = i < 0;
+  while (!reached_start && m < max_ctx) {
     int j = end - 1;
     while (j >= 0 && ids[j] != lm.space) --j;
     const int seglen = end - 1 - j;
-    if (seglen > 0) {
-      prev = FindWord(lm, ids + j + 1, seglen);
-      break;
-    }
+    if (seglen > 0) ctx_rev[m++] = LookupWord(lm, ids + j + 1, seglen);
+    if (j < 0) reached_start = true;
     end = j;
   }
-  int row;
-  if (prev == -2) row = lm.n;            // BOS
-  else if (prev < 0) row = lm.n + 1;     // OOV previous word
-  else row = prev;
-  return alpha * lm.table[static_cast<int64_t>(row) * lm.n + wi] + beta;
+  if (reached_start && m < max_ctx && lm.bos_id >= 0) ctx_rev[m++] = lm.bos_id;
+
+  int32_t ctx[kMaxOrder];  // oldest first
+  for (int k = 0; k < m; ++k) ctx[k] = ctx_rev[m - 1 - k];
+  return static_cast<float>(alpha * ScoreNgram(lm, ctx, m, w) + beta);
 }
 
 // alpha/beta weight the char-table LM; w_alpha/w_beta the word LM.  Both LMs
@@ -150,7 +236,9 @@ int BeamSearchImpl(const float* log_probs, int t, int v, int beam_width,
                    float w_alpha = 0.0f, float w_beta = 0.0f) {
   if (t < 0 || v <= 0 || beam_width <= 0 || blank < 0 || blank >= v) return -1;
   if (lm_table != nullptr && lm_order < 1) return -1;
-  if (wlm != nullptr && (wlm->n <= 0 || wlm->space < 0 || wlm->space >= v))
+  if (wlm != nullptr &&
+      (wlm->n_words <= 0 || wlm->space < 0 || wlm->space >= v ||
+       wlm->order < 1 || wlm->order > kMaxOrder || wlm->vlm <= 0))
     return -1;
 
   std::unordered_map<std::string, Hyp> beams;
@@ -278,29 +366,79 @@ extern "C" int ctc_beam_search_lm(const float* log_probs, int t, int v,
                         lm_order, alpha, beta, out_ids, max_out, out_score);
 }
 
-extern "C" int ctc_beam_search_wlm(const float* log_probs, int t, int v,
-                                   int beam_width, int blank, int prune_k,
-                                   int space_id, const int32_t* word_ids,
-                                   const int32_t* word_offsets, int n_words,
-                                   const float* table, float oov_logp,
-                                   float alpha, float beta, int* out_ids,
-                                   int max_out, float* out_score) {
-  WordLm wlm{space_id, word_ids, word_offsets, n_words, table, oov_logp};
+namespace {
+// Assemble a WordLm from the flat sparse-export arrays (decode/ngram.py
+// contract); returns false on malformed parameters.
+bool InitWordLm(WordLm* lm, int space_id, const uint64_t* word_hash,
+                const int32_t* word_lm_id, int n_words, int order, int vlm,
+                const float* uni_logp, const float* uni_backoff,
+                const uint64_t* ngram_keys, const float* ngram_logp,
+                const float* ngram_backoff, const int64_t* ngram_counts,
+                int bos_id, int unk_id, float floor_logp) {
+  if (order < 1 || order > kMaxOrder || n_words <= 0 || vlm <= 0) return false;
+  lm->space = space_id;
+  lm->word_hash = word_hash;
+  lm->word_lm_id = word_lm_id;
+  lm->n_words = n_words;
+  lm->order = order;
+  lm->vlm = vlm;
+  lm->uni_logp = uni_logp;
+  lm->uni_backoff = uni_backoff;
+  lm->keys = ngram_keys;
+  lm->logp = ngram_logp;
+  lm->backoff = ngram_backoff;
+  // level_start[n] = first order-n entry; orders run 2..order.
+  for (int n = 0; n <= kMaxOrder + 1; ++n) lm->level_start[n] = 0;
+  int64_t acc = 0;
+  for (int n = 2; n <= order; ++n) {
+    lm->level_start[n] = acc;
+    acc += ngram_counts[n - 2];
+  }
+  for (int n = order + 1; n <= kMaxOrder + 1; ++n) lm->level_start[n] = acc;
+  lm->bos_id = bos_id;
+  lm->unk_id = unk_id;
+  lm->floor_logp = floor_logp;
+  return true;
+}
+}  // namespace
+
+extern "C" int ctc_beam_search_wlm(
+    const float* log_probs, int t, int v, int beam_width, int blank,
+    int prune_k, int space_id, const uint64_t* word_hash,
+    const int32_t* word_lm_id, int n_words, int order, int vlm,
+    const float* uni_logp, const float* uni_backoff,
+    const uint64_t* ngram_keys, const float* ngram_logp,
+    const float* ngram_backoff, const int64_t* ngram_counts, int bos_id,
+    int unk_id, float floor_logp, float alpha, float beta, int* out_ids,
+    int max_out, float* out_score) {
+  WordLm wlm;
+  if (!InitWordLm(&wlm, space_id, word_hash, word_lm_id, n_words, order, vlm,
+                  uni_logp, uni_backoff, ngram_keys, ngram_logp,
+                  ngram_backoff, ngram_counts, bos_id, unk_id, floor_logp))
+    return -1;
   return BeamSearchImpl(log_probs, t, v, beam_width, blank, prune_k,
                         /*lm_table=*/nullptr, /*lm_order=*/0, 0.0f, 0.0f,
                         out_ids, max_out, out_score, &wlm, alpha, beta);
 }
 
 // Hybrid shallow fusion: char n-gram table (alpha/beta, once per appended
-// symbol) PLUS word LM (w_alpha/w_beta, once per completed word) — the
+// symbol) PLUS sparse word LM (w_alpha/w_beta, once per completed word) — the
 // measured-best decode mode (BASELINE.md round-3 hybrid fusion).
 extern "C" int ctc_beam_search_hybrid(
     const float* log_probs, int t, int v, int beam_width, int blank,
     int prune_k, const float* lm_table, int lm_order, float alpha, float beta,
-    int space_id, const int32_t* word_ids, const int32_t* word_offsets,
-    int n_words, const float* table, float oov_logp, float w_alpha,
-    float w_beta, int* out_ids, int max_out, float* out_score) {
-  WordLm wlm{space_id, word_ids, word_offsets, n_words, table, oov_logp};
+    int space_id, const uint64_t* word_hash, const int32_t* word_lm_id,
+    int n_words, int order, int vlm, const float* uni_logp,
+    const float* uni_backoff, const uint64_t* ngram_keys,
+    const float* ngram_logp, const float* ngram_backoff,
+    const int64_t* ngram_counts, int bos_id, int unk_id, float floor_logp,
+    float w_alpha, float w_beta, int* out_ids, int max_out,
+    float* out_score) {
+  WordLm wlm;
+  if (!InitWordLm(&wlm, space_id, word_hash, word_lm_id, n_words, order, vlm,
+                  uni_logp, uni_backoff, ngram_keys, ngram_logp,
+                  ngram_backoff, ngram_counts, bos_id, unk_id, floor_logp))
+    return -1;
   return BeamSearchImpl(log_probs, t, v, beam_width, blank, prune_k, lm_table,
                         lm_order, alpha, beta, out_ids, max_out, out_score,
                         &wlm, w_alpha, w_beta);

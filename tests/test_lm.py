@@ -138,8 +138,10 @@ def test_word_lm_save_load_roundtrip(wlm, tmp_path):
     assert isinstance(lm2, WordNGramLM)
     for w, p in [("SAT", "CAT"), ("THE", None), ("XYZ", "THE")]:
         assert lm2.logp(w, p) == pytest.approx(wlm.logp(w, p))
-    np.testing.assert_allclose(lm2.export_native()["table"],
-                               wlm.export_native()["table"], rtol=1e-6)
+    ex1, ex2 = wlm.export_native(), lm2.export_native()
+    np.testing.assert_array_equal(ex1["ngram_keys"], ex2["ngram_keys"])
+    np.testing.assert_allclose(ex1["ngram_logp"], ex2["ngram_logp"], rtol=1e-6)
+    np.testing.assert_allclose(ex1["uni_logp"], ex2["uni_logp"], rtol=1e-6)
 
 
 def test_load_lm_dispatches_char(lm, tmp_path):

@@ -105,3 +105,23 @@ def test_server_full_refuses_politely(setup):
         first.close()
     finally:
         server.stop()
+
+
+def test_cli_defaults_encode_measured_recipe():
+    """serve CLI defaults must match the measured-best deployment point
+    (VERDICT r3 #6: live_pipeline_r3.json chosen_point for transcribe,
+    streaming_sweep_r3.json knee for enhance) and the weights interaction
+    (streaming-finetuned weights only for LM-less greedy transcripts)."""
+    from aas_enhancement_tpu.cli import serve as cli_serve
+
+    assert cli_serve.resolve_operating_point(True, None, None, None) == (1.0, 0.5, 0.5)
+    assert cli_serve.resolve_operating_point(False, None, None, None) == (1.0, 0.2, 0.5)
+    assert cli_serve.resolve_operating_point(True, 2.0, 0.1, 0.3) == (2.0, 0.1, 0.3)
+
+    assert cli_serve.pick_weights("auto", True, True) == "streaming"
+    assert cli_serve.pick_weights("auto", True, False) == "offline"
+    assert cli_serve.pick_weights("auto", False, True) == "offline"
+    assert cli_serve.pick_weights("offline", True, True) == "offline"
+    assert cli_serve.pick_weights("streaming", True, True) == "streaming"
+    with pytest.raises(SystemExit):
+        cli_serve.pick_weights("streaming", False, False)
