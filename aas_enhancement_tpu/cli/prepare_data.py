@@ -33,6 +33,11 @@ def main(argv=None) -> None:
                    help="language seed (lexicon + bigram model); keep equal "
                         "across train/dev/test corpora so an LM transfers")
     p.add_argument("--lexicon-size", type=int, default=100)
+    p.add_argument("--tri-classes", type=int, default=1,
+                   help="structured mode: >1 plants genuine trigram word "
+                        "structure (successor distribution depends on the "
+                        "previous word's class) so an order-3 LM beats an "
+                        "order-2 one at decode time")
     p.add_argument("--n-words-low", type=int, default=2)
     p.add_argument("--n-words-high", type=int, default=5)
     p.add_argument("--rate-jitter", type=float, default=None,
@@ -75,6 +80,7 @@ def main(argv=None) -> None:
                           n_words=(args.n_words_low, args.n_words_high),
                           lang_seed=args.lang_seed,
                           lexicon_size=args.lexicon_size,
+                          tri_classes=args.tri_classes,
                           rate_jitter=args.rate_jitter,
                           coarticulation=args.coarticulation,
                           reverb_prob=args.reverb_prob)

@@ -53,7 +53,7 @@ class Language:
     def __init__(self, lang_seed: int = 0, size: int = 100,
                  charset: list[str] | None = None,
                  word_len: tuple[int, int] = (2, 7),
-                 branching: int = 8):
+                 branching: int = 8, tri_classes: int = 1):
         rng = np.random.default_rng(777_000 + lang_seed)
         chars = charset if charset is not None else _CHARS
         words: list[str] = []
@@ -79,6 +79,27 @@ class Language:
             big[i, succ] += rng.dirichlet(np.ones(len(succ))) * 0.9
         big += 0.1 * self.unigram[None, :]
         self.bigram = big / big.sum(axis=1, keepdims=True)
+        # Optional TRIGRAM structure (tri_classes > 1): each word carries a
+        # class label, and the successor distribution of w_t depends on
+        # (class(w_{t-1}), w_t) — genuine order-3 dependence a bigram LM
+        # cannot capture (P(w|a,b) != P(w|b)), measurable as a trigram-LM
+        # WER win (VERDICT r3 #1).  All trigram draws happen AFTER the
+        # bigram construction so tri_classes=1 corpora are bit-identical to
+        # rounds 1-3.
+        self.tri_classes = tri_classes
+        if tri_classes > 1:
+            self.word_class = rng.integers(0, tri_classes, size=size)
+            tb = np.zeros((tri_classes, size, size), np.float64)
+            for c in range(tri_classes):
+                for i in range(size):
+                    succ = rng.choice(size, size=min(branching, size),
+                                      replace=False, p=self.unigram)
+                    tb[c, i, succ] += rng.dirichlet(np.ones(len(succ))) * 0.9
+            tb += 0.1 * self.unigram[None, None, :]
+            self.tri_bigram = tb / tb.sum(axis=2, keepdims=True)
+        else:
+            self.word_class = None
+            self.tri_bigram = None
 
     def sample_sentence(self, rng: np.random.Generator,
                         n_words: tuple[int, int] = (2, 5)) -> str:
@@ -86,19 +107,24 @@ class Language:
         lo, hi = n_words
         n = int(rng.integers(lo, hi)) if hi > lo else lo
         w = int(rng.choice(self.size, p=self.unigram))
-        out = [self.words[w]]
+        out = [w]
         for _ in range(n - 1):
-            w = int(rng.choice(self.size, p=self.bigram[w]))
-            out.append(self.words[w])
-        return " ".join(out)
+            if self.tri_bigram is not None and len(out) >= 2:
+                c = int(self.word_class[out[-2]])
+                p = self.tri_bigram[c, out[-1]]
+            else:
+                p = self.bigram[out[-1]]
+            out.append(int(rng.choice(self.size, p=p)))
+        return " ".join(self.words[i] for i in out)
 
     def save_lexicon(self, path: str) -> None:
         with open(path, "w") as f:
             f.write("\n".join(self.words) + "\n")
 
 
-def default_language(lang_seed: int = 0, size: int = 100) -> Language:
-    return Language(lang_seed=lang_seed, size=size)
+def default_language(lang_seed: int = 0, size: int = 100,
+                     tri_classes: int = 1) -> Language:
+    return Language(lang_seed=lang_seed, size=size, tri_classes=tri_classes)
 
 
 # ------------------------------------------------------------------- synthesis
@@ -264,6 +290,7 @@ def generate_corpus(out_dir: str, n_utts: int = 16, seed: int = 0,
                     n_words: tuple[int, int] = (2, 5),
                     word_len: tuple[int, int] | None = None,
                     lang_seed: int = 0, lexicon_size: int = 100,
+                    tri_classes: int = 1,
                     rate_jitter: float | None = None,
                     coarticulation: float | None = None,
                     reverb_prob: float = 0.0,
@@ -296,7 +323,7 @@ def generate_corpus(out_dir: str, n_utts: int = 16, seed: int = 0,
         if noise_kinds == ("white", "band", "babble", "nonstat"):
             noise_kinds = ("white", "band", "babble")   # rounds-1/2 mix
     else:
-        lang = default_language(lang_seed, lexicon_size)
+        lang = default_language(lang_seed, lexicon_size, tri_classes)
     for sub in ("clean", "noisy", "txt"):
         os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
 

@@ -184,6 +184,98 @@ class ArpaWordLM:
                 floor_logp=self.floor_logp)
         return self._native
 
+    # ------------------------------------------------------------------- io
+    def save_arpa(self, path: str) -> None:
+        """Write this model back out as an ARPA file (any order).  The file
+        reloads through `load_arpa` with scoring exact to text-float
+        precision (test_arpa.py round-trip)."""
+        def f10(ln_value: float) -> str:
+            return f"{ln_value / _LN10:.8f}"
+
+        with open(path, "w", encoding="utf-8") as f:
+            f.write("\\data\\\n")
+            f.write(f"ngram 1={len(self.vocab)}\n")
+            for n in range(2, self.order + 1):
+                f.write(f"ngram {n}={len(self.ngrams[n - 2])}\n")
+            f.write("\n\\1-grams:\n")
+            for i, w in enumerate(self.vocab):
+                f.write(f"{f10(self.uni_logp[i])}\t{w}\t"
+                        f"{f10(self.uni_backoff[i])}\n")
+            for n in range(2, self.order + 1):
+                f.write(f"\n\\{n}-grams:\n")
+                for ids, (lp, bo) in sorted(self.ngrams[n - 2].items()):
+                    gram = " ".join(self.vocab[i] for i in ids)
+                    if n < self.order:
+                        f.write(f"{f10(lp)}\t{gram}\t{f10(bo)}\n")
+                    else:
+                        f.write(f"{f10(lp)}\t{gram}\n")
+            f.write("\n\\end\\\n")
+
+
+def fit_arpa(texts, order: int = 3, labels: str = LABELS) -> ArpaWordLM:
+    """Train a word n-gram LM of ANY order on transcripts, stupid-backoff
+    MLE mapped onto ARPA-backoff form (every seen context's backoff weight is
+    the constant ln(0.4); explicit n-grams keep their MLE log-probs) — the
+    same scheme `WordNGramLM` uses at order 2, generalized.  Returns an
+    `ArpaWordLM`, so the result fuses/saves/loads exactly like an externally
+    trained KenLM file (SURVEY.md §2 "NATIVE: ctcdecode" — the reference's
+    users train LMs offline and hand the decoder an ARPA file)."""
+    if order < 2:
+        raise ValueError("order must be >= 2")
+    counts: list[dict] = [dict() for _ in range(order)]  # n-1 -> ctx+w counts
+    total = 0
+    vocab_counts: dict[str, int] = {}
+    for text in texts:
+        words = text.split()
+        if not words:
+            continue
+        padded = ["<s>"] * (order - 1) + words
+        for t in range(order - 1, len(padded)):
+            w = padded[t]
+            vocab_counts[w] = vocab_counts.get(w, 0) + 1
+            total += 1
+            for n in range(2, order + 1):
+                key = tuple(padded[t - n + 1: t + 1])
+                if key.count("<s>") > 1:
+                    # Fusion inserts at most ONE <s> of context (the beam's
+                    # BOS fill) — doubled-<s> n-grams are unreachable.
+                    continue
+                counts[n - 1][key] = counts[n - 1].get(key, 0) + 1
+    if not vocab_counts:
+        raise ValueError("no transcripts to train on")
+
+    lm = ArpaWordLM(labels)
+    lm.order = order
+    lm.vocab = ["<unk>", "<s>", "</s>"] + sorted(vocab_counts)
+    lm.wid = {w: i for i, w in enumerate(lm.vocab)}
+    unk_logp = _BACKOFF - math.log(total + len(vocab_counts) + 1)
+    lm.uni_logp = [unk_logp, -99.0 * _LN10, -99.0 * _LN10] + [
+        math.log(vocab_counts[w] / total) for w in lm.vocab[3:]]
+    lm.uni_backoff = [_BACKOFF] * len(lm.vocab)
+    # Context totals per n-gram level: denominator of the MLE ratio.
+    lm.ngrams = [dict() for _ in range(order - 1)]
+    for n in range(2, order + 1):
+        ctx_total: dict[tuple, int] = {}
+        for key, c in counts[n - 1].items():
+            ctx_total[key[:-1]] = ctx_total.get(key[:-1], 0) + c
+        bo = _BACKOFF if n < order else 0.0
+        level = lm.ngrams[n - 2]
+        for key, c in counts[n - 1].items():
+            ids = tuple(lm.wid[w] for w in key)
+            level[ids] = (math.log(c / ctx_total[key[:-1]]), bo)
+    return lm
+
+
+def fit_arpa_from_manifests(manifest_paths, order: int = 3,
+                            labels: str = LABELS) -> ArpaWordLM:
+    from aas_enhancement_tpu.data.manifest import read_manifest, read_transcript
+    texts = []
+    for path in ([manifest_paths] if isinstance(manifest_paths, str)
+                 else manifest_paths):
+        for _, txt_path in read_manifest(path):
+            texts.append(read_transcript(txt_path))
+    return fit_arpa(texts, order=order, labels=labels)
+
 
 def export_arpa(word_lm, path: str) -> None:
     """Write a trained `decode.lm.WordNGramLM` as a bigram ARPA file.

@@ -309,3 +309,81 @@ def test_trigram_native_matches_python(tmp_path):
     nat = beam_search_native(lp, 8, word_ex=ex, word_alpha=1.5)
     py = beam_search_python(lp, 8, word_ex=ex, word_alpha=1.5)
     assert nat[0] == py[0]
+
+
+def test_fit_arpa_trains_and_roundtrips(tmp_path):
+    """fit_arpa (any-order stupid-backoff trainer) -> save_arpa -> load_arpa:
+    scoring exact to text-float precision at every order, and the MLE values
+    are what counting says they should be."""
+    from aas_enhancement_tpu.decode.arpa import fit_arpa
+    texts = ["THE CAT SAT", "THE CAT RAN", "THE DOG SAT", "A CAT RAN",
+             "THE CAT SAT", "A DOG SAT ON THE MAT"]
+    lm = fit_arpa(texts, order=3)
+    assert lm.order == 3
+    # P(SAT | THE CAT) = 2/3 (THE CAT SAT x2, THE CAT RAN x1).
+    assert lm.logp("SAT", ("THE", "CAT")) == pytest.approx(
+        math.log(2 / 3), abs=1e-5)
+    # P(RAN | A CAT) = 1 (explicit trigram).
+    assert lm.logp("RAN", ("A", "CAT")) == pytest.approx(0.0, abs=1e-5)
+    # Unseen trigram backs off: bo(DOG SAT) + P(SAT | SAT)-> unigram chain.
+    assert lm.logp("THE", ("CAT", "SAT")) < lm.logp("SAT", ("THE", "CAT"))
+    # Sentence-initial: (<s>, THE) bigram exists; (<s>, <s>, w) was skipped.
+    assert lm.logp("THE", None) == pytest.approx(math.log(4 / 6), abs=1e-5)
+    assert all("<s>" not in [lm.vocab[i] for i in ids[1:]]
+               for ids in lm.ngrams[1])
+    path = str(tmp_path / "tri_trained.arpa")
+    lm.save_arpa(path)
+    lm2 = ArpaWordLM.load_arpa(path)
+    assert lm2.order == 3
+    words = sorted(w for w in lm.vocab if not w.startswith("<"))
+    for w in words + ["ZEBRA"]:
+        for ctx in (None, "THE", ("THE", "CAT"), ("A", "DOG"), ("XQ", "CAT")):
+            assert lm.logp(w, ctx) == pytest.approx(
+                lm2.logp(w, ctx), abs=1e-6), (w, ctx)
+
+
+def test_fit_arpa_fusion_native_matches_python():
+    """A TRAINED trigram (fit_arpa) fuses identically on both decoders."""
+    from aas_enhancement_tpu.decode.arpa import fit_arpa
+    from aas_enhancement_tpu.decode.beam import (beam_search_native,
+                                                 beam_search_python)
+    from aas_enhancement_tpu.labels import LABELS
+    texts = ["THE CAT SAT", "THE CAT RAN", "A DOG SAT", "THE DOG RAN"]
+    ex = fit_arpa(texts, order=3).export_native()
+    rng = np.random.default_rng(3)
+    v = len(LABELS)
+    for trial in range(3):
+        logits = rng.standard_normal((26, v)).astype(np.float32) * 2.0
+        logits[:, 1] += 1.0
+        lp = logits - np.log(np.sum(np.exp(logits), axis=1, keepdims=True))
+        kw = dict(beam_width=10, prune_k=8, word_ex=ex,
+                  word_alpha=0.8, word_beta=0.3)
+        nat = beam_search_native(lp, **kw)
+        if nat is None:
+            pytest.skip("native decoder unavailable")
+        py = beam_search_python(lp, **kw)
+        assert nat[0] == py[0], f"trial {trial}"
+
+
+def test_train_lm_cli_order3(tmp_path):
+    """`train_lm --level word --order 3` writes an ARPA file that load_lm
+    sniffs and evaluate can fuse (the KenLM-workflow CLI path)."""
+    import csv
+    from aas_enhancement_tpu.cli.train_lm import main as train_lm_main
+    wav = tmp_path / "a.wav"
+    wav.write_bytes(b"")
+    rows = []
+    for i, text in enumerate(["THE CAT SAT", "THE CAT RAN", "A DOG SAT"]):
+        t = tmp_path / f"{i}.txt"
+        t.write_text(text)
+        rows.append((str(wav), str(t)))
+    manifest = tmp_path / "m.csv"
+    with open(manifest, "w", newline="") as f:
+        csv.writer(f).writerows(rows)
+    out = str(tmp_path / "tri.arpa")
+    train_lm_main(["--manifest", str(manifest), "--level", "word",
+                   "--order", "3", "--out", out])
+    lm = load_lm(out)
+    assert isinstance(lm, ArpaWordLM) and lm.order == 3
+    assert lm.logp("SAT", ("THE", "CAT")) == pytest.approx(
+        math.log(0.5), abs=1e-5)

@@ -129,3 +129,53 @@ def test_corpora_share_language_but_not_sentences(tmp_path):
     lang = default_language(0)
     for t in ta | tb:
         assert all(w in lang.words for w in t.split())
+
+
+def test_language_trigram_structure():
+    """tri_classes > 1 plants GENUINE order-3 dependence (VERDICT r3 #1): a
+    trigram LM fit on samples beats a bigram LM on held-out likelihood by a
+    clear margin — and that margin is specific to the trigram language (on a
+    tri_classes=1 language the two models are near-identical)."""
+    from aas_enhancement_tpu.decode.arpa import fit_arpa
+
+    def tri_gain(tri_classes, lang_seed=5):
+        from aas_enhancement_tpu.data.synthetic import Language
+        lang = Language(lang_seed=lang_seed, tri_classes=tri_classes)
+        rng = np.random.default_rng(2)
+        train = [lang.sample_sentence(rng, (4, 9)) for _ in range(500)]
+        rng2 = np.random.default_rng(9)
+        test = [lang.sample_sentence(rng2, (4, 9)) for _ in range(120)]
+        bi = fit_arpa(train, order=2)
+        tri = fit_arpa(train, order=3)
+
+        def mean_ll(lm):
+            tot, n = 0.0, 0
+            for s in test:
+                padded = ["<s>"] + s.split()
+                for t in range(1, len(padded)):
+                    ctx = padded[max(0, t - (lm.order - 1)): t]
+                    tot += lm.logp(padded[t], ctx)
+                    n += 1
+            return tot / n
+
+        return mean_ll(tri) - mean_ll(bi)
+
+    gain_tri = tri_gain(3)
+    gain_flat = tri_gain(1)
+    assert gain_tri > 0.15, f"trigram language not learnable: {gain_tri:.3f}"
+    assert gain_tri > gain_flat + 0.1, (gain_tri, gain_flat)
+
+
+def test_language_tri_classes_default_unchanged():
+    """tri_classes=1 draws NOTHING extra from the language RNG: words,
+    unigram, and bigram are bit-identical to the rounds-1-3 construction,
+    and sentence sampling consumes the corpus RNG identically."""
+    a = default_language(0)
+    b = default_language(0, tri_classes=3)
+    assert a.words == b.words
+    np.testing.assert_array_equal(a.unigram, b.unigram)
+    np.testing.assert_array_equal(a.bigram, b.bigram)
+    assert a.tri_bigram is None and b.tri_bigram is not None
+    # A 2-word sentence never reaches the trigram branch: identical draws.
+    assert (a.sample_sentence(np.random.default_rng(0), (2, 2))
+            == b.sample_sentence(np.random.default_rng(0), (2, 2)))
