@@ -48,8 +48,21 @@ def main():
                    help="SpecAugment during AM pre-training (regularizer for "
                         "the small-corpus train->held-out gap)")
     p.add_argument("--skip-streaming", action="store_true")
+    p.add_argument("--full", action="store_true",
+                   help="flagship data-sufficient protocol (VERDICT r3 #2): "
+                        "384 train utts with epoch-matched steps (am 1500 / "
+                        "aas 1000), 48 dev utts — the regime where the "
+                        "train->held-out gap closes (e2e_result_r3_big.json). "
+                        "Explicit --n-utts/--*-steps flags still win.")
     p.add_argument("--out", default="")
     args = p.parse_args()
+
+    if args.full:
+        defaults = {"n_utts": 384, "n_dev_utts": 48,
+                    "am_steps": 1500, "aas_steps": 1000}
+        for k, v in defaults.items():
+            if getattr(args, k) == p.get_default(k):
+                setattr(args, k, v)
 
     from aas_enhancement_tpu.utils import jax_cache
     jax_cache.enable()
@@ -93,7 +106,9 @@ def main():
         )
 
     result = {"n_utts": args.n_utts, "n_test_utts": args.n_test_utts,
-              "am_steps": args.am_steps, "aas_steps": args.aas_steps}
+              "am_steps": args.am_steps, "aas_steps": args.aas_steps,
+              "full_protocol": args.full,
+              "snr_range": [args.snr_low, args.snr_high]}
     t0 = time.time()
     out_path = args.out or os.path.join(wd, "result.json")
 

@@ -387,3 +387,80 @@ def test_train_lm_cli_order3(tmp_path):
     assert isinstance(lm, ArpaWordLM) and lm.order == 3
     assert lm.logp("SAT", ("THE", "CAT")) == pytest.approx(
         math.log(0.5), abs=1e-5)
+
+
+# ---------------------------------------------------------- vocabulary scale
+# (VERDICT r3 #1: the sparse store must handle a real KenLM-sized vocabulary
+# within sane memory — the dense [(W+2), W] design needed ~100 MB at 5k words
+# and ~10 GB at 50k; the hashed arrays are O(#n-grams))
+
+def test_5k_vocab_trigram_loads_whole_and_fuses(tmp_path):
+    """A 5,000-word trigram ARPA (60k bigrams + 60k trigrams) loads whole,
+    exports < 8 MB of flat arrays, scores through full ARPA backoff, and the
+    native C++ beam fuses it identically to python."""
+    from aas_enhancement_tpu.decode import ngram
+    from aas_enhancement_tpu.decode.beam import (beam_search_native,
+                                                 beam_search_python)
+    from aas_enhancement_tpu.labels import LABELS
+
+    rng = np.random.default_rng(17)
+    chars = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    words = set()
+    while len(words) < 5000:
+        n = int(rng.integers(4, 9))
+        words.add("".join(chars[i] for i in rng.integers(0, 26, n)))
+    words = sorted(words)
+    uni10 = -math.log10(len(words)) - 0.2    # near-uniform unigrams
+    pair_ids = rng.integers(0, 5000, (60000, 2))
+    tri_ids = rng.integers(0, 5000, (60000, 3))
+
+    path = str(tmp_path / "big.arpa")
+    with open(path, "w") as f:
+        f.write("\\data\\\nngram 1=5003\nngram 2=60000\nngram 3=60000\n\n")
+        f.write("\\1-grams:\n-2.0\t<unk>\t-0.4\n-99\t<s>\t-0.1\n-99\t</s>\n")
+        for w in words:
+            f.write(f"{uni10:.4f}\t{w}\t-0.35\n")
+        f.write("\n\\2-grams:\n")
+        for a, b in pair_ids:
+            f.write(f"{-1.0 - (a % 7) * 0.1:.4f}\t{words[a]} {words[b]}\t-0.2\n")
+        f.write("\n\\3-grams:\n")
+        for a, b, c in tri_ids:
+            f.write(f"{-0.5 - (c % 5) * 0.1:.4f}\t{words[a]} {words[b]} {words[c]}\n")
+        f.write("\n\\end\\\n")
+
+    lm = ArpaWordLM.load_arpa(path)
+    assert lm.order == 3 and len(lm.vocab) == 5003
+    ex = lm.export_native()
+    assert ex["n_words"] == 5000
+    mb = ngram.export_nbytes(ex) / 2**20
+    assert mb < 8.0, f"sparse export ballooned to {mb:.1f} MB"
+    # Dense-table equivalent for comparison: (W+2) * W float32.
+    dense_mb = (5002 * 5000 * 4) / 2**20
+    assert dense_mb > 90.0                   # the design this replaced
+
+    # Full-backoff scoring spot checks (duplicate rng rows may overwrite:
+    # read the expected value back from the parsed model, then check the
+    # export path reproduces it through every backoff branch).
+    a, b, c = (int(x) for x in tri_ids[0])
+    ids = (lm.wid[words[a]], lm.wid[words[b]], lm.wid[words[c]])
+    expect = lm.ngrams[1][ids]
+    got = ngram.score_export(ex, ids[:2], ids[2])
+    assert got == pytest.approx(expect[0], abs=1e-5)
+    # An unseen trigram over a seen bigram context backs off through it.
+    unseen = ngram.score_export(ex, ids[:2], lm.wid[words[(c + 1) % 5000]])
+    assert unseen < -0.1
+
+    # Native == python fusion at 5k-word scale.
+    v = len(LABELS)
+    logits = rng.standard_normal((40, v)).astype(np.float32) * 2.0
+    logits[:, 1] += 1.2
+    lp = (logits - np.log(np.sum(np.exp(logits), axis=1,
+                                 keepdims=True))).astype(np.float32)
+    kw = dict(beam_width=12, prune_k=8, word_ex=ex,
+              word_alpha=0.8, word_beta=0.3)
+    nat = beam_search_native(lp, **kw)
+    if nat is None:
+        pytest.skip("native decoder unavailable")
+    py = beam_search_python(lp, **kw)
+    assert nat[0] == py[0]
+    assert nat[1] == pytest.approx(py[1], rel=1e-3, abs=5e-3)
