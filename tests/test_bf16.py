@@ -1,5 +1,7 @@
 """bf16 compute mode (the production bench configuration) stays finite and trains."""
 
+import pytest
+
 import numpy as np
 
 from aas_enhancement_tpu.config import (AMConfig, Config, DataConfig,
@@ -9,6 +11,7 @@ from aas_enhancement_tpu.data.synthetic import generate_corpus
 from aas_enhancement_tpu.train.loop import train
 
 
+@pytest.mark.slow
 def test_aas_bf16_trains(tmp_path_factory):
     corpus = generate_corpus(str(tmp_path_factory.mktemp("c")), n_utts=8, seed=2)
     cfg = Config(

@@ -1,6 +1,8 @@
 """Checkpoint/resume: restore must continue the loss curve exactly
 (SURVEY.md §5 "Checkpoint/resume")."""
 
+import pytest
+
 import jax
 import numpy as np
 
@@ -34,6 +36,7 @@ def test_save_restore_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_resume_continues_loss_curve(tmp_path, tmp_path_factory):
     corpus = generate_corpus(str(tmp_path_factory.mktemp("c")), n_utts=8, seed=3)
     cfg = _cfg(checkpoint_every=4)
@@ -57,6 +60,7 @@ def test_resume_continues_loss_curve(tmp_path, tmp_path_factory):
                                    err_msg=f"loss curve diverged at step {s}")
 
 
+@pytest.mark.slow
 def test_resume_aas_clean_stream_lockstep(tmp_path, tmp_path_factory):
     """Resume must replay the SAME unpaired clean batches (stream fast-forward)."""
     from aas_enhancement_tpu.config import (AMConfig, DiscriminatorConfig)

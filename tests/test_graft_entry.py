@@ -18,11 +18,13 @@ from aas_enhancement_tpu.config import MeshConfig  # noqa: E402
 from aas_enhancement_tpu.parallel.mesh import make_mesh, pad_batch_to_devices  # noqa: E402
 
 
+@pytest.mark.slow
 def test_dryrun_import_path_direct():
     """Under the 8-virtual-CPU conftest the import-path call runs in-process."""
     graft.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_dryrun_import_path_subprocess(monkeypatch):
     """With fewer visible devices than requested (the driver's axon situation),
     dryrun_multichip must re-exec itself under a virtual CPU platform and

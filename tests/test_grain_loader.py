@@ -16,6 +16,7 @@ def ds(tmp_path_factory):
 
 
 @pytest.mark.parametrize("workers", [0, 2])
+@pytest.mark.slow
 def test_grain_matches_inprocess(ds, workers):
     ref = list(ds.batches(4, seed=0, epoch=0))
     got = list(grain_batches(ds, 4, seed=0, epoch=0, worker_count=workers))

@@ -76,6 +76,7 @@ def test_discriminator_padding_invariance():
                                atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_default_param_count_goldens():
     """Golden parameter counts for the DEFAULT configs (SURVEY.md §4 item 2) —
     catches accidental architecture drift between rounds."""

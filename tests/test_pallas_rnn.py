@@ -42,6 +42,7 @@ def _inputs(t=21, b=4, h=8, seed=0, frac_padded=0.3):
 
 
 @pytest.mark.parametrize("t", [16, 21, 40])
+@pytest.mark.slow
 def test_forward_matches_scan(t):
     gx, m, wh, bh = _inputs(t=t)
     y_k = lstm_scan_pallas(gx, m, wh, bh, True)
@@ -50,6 +51,7 @@ def test_forward_matches_scan(t):
                                atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_vjp_matches_scan():
     gx, m, wh, bh = _inputs(t=24, seed=3)
     rng = np.random.default_rng(9)
@@ -68,6 +70,7 @@ def test_vjp_matches_scan():
                                    atol=2e-4, rtol=2e-4, err_msg=name)
 
 
+@pytest.mark.slow
 def test_all_padded_tail_stays_zero():
     gx, m, wh, bh = _inputs(t=20, frac_padded=0.5)
     y = lstm_scan_pallas(gx, m, wh, bh, True)
@@ -123,6 +126,7 @@ def test_gru_forward_matches_scan(t):
                                atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_gru_vjp_matches_scan():
     gx, m, wh, bh = _gru_inputs(t=24, seed=5)
     rng = np.random.default_rng(11)
@@ -158,6 +162,7 @@ def _tm_inputs(t, b, h, g, seed=0, frac_padded=0.3):
 
 @pytest.mark.parametrize("cell,g", [("lstm", 4), ("gru", 3)])
 @pytest.mark.parametrize("t", [16, 21, 40])
+@pytest.mark.slow
 def test_tm_matches_stacked_interface(cell, g, t):
     """tm(gxf, gxb, m) == stacked([gxf, flip(gxb)], [m, flip(m)]) with the
     outputs un-flipped — i.e. the index-map reversal is exactly the host-side
@@ -177,6 +182,7 @@ def test_tm_matches_stacked_interface(cell, g, t):
 
 
 @pytest.mark.parametrize("cell,g", [("lstm", 4), ("gru", 3)])
+@pytest.mark.slow
 def test_tm_vjp_matches_stacked_interface(cell, g):
     gxf, gxb, m, wh, bh = _tm_inputs(24, 4, 8, g, seed=7)
     old = lstm_scan_pallas if cell == "lstm" else gru_scan_pallas
@@ -202,6 +208,7 @@ def test_tm_vjp_matches_stacked_interface(cell, g):
                                    atol=2e-5, rtol=2e-5, err_msg=name)
 
 
+@pytest.mark.slow
 def test_birnn_time_major_matches_batch_major():
     """BiRNN(time_major=True) on x.T == BiRNN on x (same params), both impls."""
     from aas_enhancement_tpu.ops.rnn import BiRNN

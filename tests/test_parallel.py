@@ -58,6 +58,7 @@ def _run(objective, n_devices, steps=3):
 
 
 @pytest.mark.parametrize("objective", ["aas", "paired"])
+@pytest.mark.slow
 def test_8dev_matches_1dev(objective):
     """Same batch, same init: 8-way data parallel tracks the single-device run.
 
@@ -84,6 +85,7 @@ def test_uneven_batch_padding():
     np.testing.assert_array_equal(padded["wav"][5], b["wav"][0])
 
 
+@pytest.mark.slow
 def test_grad_accum_on_mesh():
     """grad_accum splits the batch dim into (k, B/k) INSIDE the sharded step —
     the reshape over the data-sharded dim must compile and track the k=1 run."""
@@ -108,6 +110,7 @@ def test_grad_accum_on_mesh():
     np.testing.assert_allclose(a1["loss_d"], a2["loss_d"], rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_multihost_two_process_smoke():
     """VERDICT r2 #4: the multi-host input-sharding branch
     (shard_batch -> make_array_from_process_local_data, replicate_state's

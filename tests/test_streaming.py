@@ -137,6 +137,7 @@ def test_blockwise_apply_shapes_and_masking(setup):
     np.testing.assert_array_equal(np.asarray(out)[1, 20:], 0.0)
 
 
+@pytest.mark.slow
 def test_streaming_finetune_loss_decreases(tmp_path):
     """The AAS objective trains through the block-bidirectional forward
     (TrainConfig.streaming_finetune) and still learns."""

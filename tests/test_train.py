@@ -38,6 +38,7 @@ def _first_last(records, key, k=3):
     return float(np.mean(vals[:k])), float(np.mean(vals[-k:]))
 
 
+@pytest.mark.slow
 def test_paired_loss_decreases(corpus):
     cfg = _tiny_cfg("paired")
     _, recs = train(cfg, corpus["noisy"], corpus["clean"], paired=True, max_steps=16)
@@ -45,6 +46,7 @@ def test_paired_loss_decreases(corpus):
     assert last < first, f"paired loss did not decrease: {first} -> {last}"
 
 
+@pytest.mark.slow
 def test_adversarial_losses_move(corpus):
     cfg = _tiny_cfg("adversarial")
     _, recs = train(cfg, corpus["noisy"], corpus["clean"], max_steps=16)
@@ -54,6 +56,7 @@ def test_adversarial_losses_move(corpus):
     assert all(np.isfinite(r["loss_adv_g"]) for r in recs)
 
 
+@pytest.mark.slow
 def test_acoustic_ctc_decreases(corpus):
     cfg = _tiny_cfg("acoustic")
     _, recs = train(cfg, corpus["noisy"], max_steps=16)
@@ -61,6 +64,7 @@ def test_acoustic_ctc_decreases(corpus):
     assert last < first, f"CTC loss did not decrease: {first} -> {last}"
 
 
+@pytest.mark.slow
 def test_aas_joint_decreases(corpus):
     cfg = _tiny_cfg("aas", lambda_adv=0.5)
     _, recs = train(cfg, corpus["noisy"], corpus["clean"], max_steps=16)
@@ -69,6 +73,7 @@ def test_aas_joint_decreases(corpus):
     assert all(np.isfinite(r["loss_d"]) for r in recs)
 
 
+@pytest.mark.slow
 def test_am_pretrain_decreases(corpus):
     cfg = _tiny_cfg("am")
     _, recs = train(cfg, corpus["clean"], max_steps=16)
@@ -76,6 +81,7 @@ def test_am_pretrain_decreases(corpus):
     assert last < first, f"AM CTC loss did not decrease: {first} -> {last}"
 
 
+@pytest.mark.slow
 def test_frozen_am_unchanged_during_acoustic(corpus):
     """SURVEY.md §4 item 2: the frozen AM must not move during G training."""
     import jax
@@ -89,6 +95,7 @@ def test_frozen_am_unchanged_during_acoustic(corpus):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_prefetch_matches_synchronous(corpus):
     """The producer-thread input path (TrainConfig.prefetch) must be bit-exact
     with synchronous iteration: same batches, same order, same losses."""
@@ -117,6 +124,7 @@ def test_prefetch_early_exit_no_thread_leak(corpus):
     raise AssertionError("prefetch producer thread still alive 5 s after train()")
 
 
+@pytest.mark.slow
 def test_grad_accum_matches_full_batch(corpus):
     """k microbatches of equal real-row count average to the full-batch
     gradient, so 10 steps with grad_accum=2 track 10 full-batch steps
@@ -155,6 +163,7 @@ def test_grad_accum_matches_full_batch(corpus):
     assert rel < 2e-2, f"grad_accum diverged: {losses[1]} vs {losses[2]}"
 
 
+@pytest.mark.slow
 def test_grad_accum_uneven_real_rows_exact(corpus):
     """VERDICT r2 #7: with repeat-padded (zero-weight) rows spread UNEVENLY
     across microbatches, accumulated gradients and metrics must equal the
@@ -208,6 +217,7 @@ def test_grad_accum_batch_size_validation():
         make_train_step(cfg)
 
 
+@pytest.mark.slow
 def test_profile_capture(corpus, tmp_path):
     """TrainConfig.profile_dir captures an XProf trace of a few steps (and the
     early-exit path closes the trace cleanly)."""
@@ -221,6 +231,7 @@ def test_profile_capture(corpus, tmp_path):
                for f in files), f"no trace artifacts under {d}: {files}"
 
 
+@pytest.mark.slow
 def test_mrstft_paired_loss_decreases(corpus):
     """Paired objective with the multi-resolution STFT auxiliary term trains."""
     cfg = _tiny_cfg("paired", lambda_mrstft=0.5)
@@ -266,6 +277,7 @@ def test_mrstft_padding_invariant():
     assert abs(vals[0] - vals[1]) < 1e-4, vals
 
 
+@pytest.mark.slow
 def test_int16_feed_trains_like_float32(corpus):
     """Training through the int16 transport (DataConfig.feed_dtype) matches the
     float32 feed to quantization precision, end to end through the aas step."""
@@ -312,6 +324,7 @@ def test_spec_augment_op():
     assert (yn == 0).any()
 
 
+@pytest.mark.slow
 def test_am_pretrain_spec_augment_decreases(corpus):
     cfg = _tiny_cfg("am", spec_augment=True, sa_time_width=5, sa_freq_width=5)
     _, recs = train(cfg, corpus["clean"], max_steps=16)

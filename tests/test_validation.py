@@ -45,6 +45,7 @@ def _tiny_cfg(objective, data_kw=None, **train_kw):
 
 # ---------------------------------------------------------------- validation
 
+@pytest.mark.slow
 def test_val_wer_logged_and_best_checkpoint(corpus, val_corpus, tmp_path):
     """AM pre-training with a val manifest: val_wer records appear, the final
     step is always validated, and best.json + best_ckpt/ are written."""
@@ -62,6 +63,7 @@ def test_val_wer_logged_and_best_checkpoint(corpus, val_corpus, tmp_path):
     assert os.path.isdir(os.path.join(ckpt_dir, "best_ckpt"))
 
 
+@pytest.mark.slow
 def test_val_wer_enhanced_and_noisy_for_aas(corpus, val_corpus):
     """AAS: validation decodes the ENHANCED dev set through the frozen AM and
     logs the constant noisy baseline alongside (SURVEY.md §3.2)."""
@@ -75,6 +77,7 @@ def test_val_wer_enhanced_and_noisy_for_aas(corpus, val_corpus):
     assert len(noisy) == 1, "frozen-AM noisy baseline must be constant"
 
 
+@pytest.mark.slow
 def test_no_validation_without_manifest(corpus):
     cfg = _tiny_cfg("am")
     _, recs = train(cfg, corpus["clean"], max_steps=3)
@@ -92,6 +95,7 @@ def test_lr_schedule_anneals():
     assert sched(25) == pytest.approx(2.5e-3)
 
 
+@pytest.mark.slow
 def test_lr_anneal_changes_trajectory(corpus):
     """The schedule must actually reach the optimizer: with a huge anneal the
     post-epoch-1 updates are frozen, so the two runs diverge."""
