@@ -116,6 +116,25 @@ def _load_lib():
             ctypes.POINTER(ctypes.c_int), ctypes.c_int,
             ctypes.POINTER(ctypes.c_float),
         ]
+        try:  # thread-parallel batch decode (absent in pre-round-4 builds)
+            lib.ctc_beam_search_batch.restype = ctypes.c_int
+            lib.ctc_beam_search_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_float),             # [b, t_max, v]
+                ctypes.POINTER(ctypes.c_int),               # lens [b]
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,   # b, t_max, v
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,   # beam, blank, k
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int,  # char table
+                ctypes.c_float, ctypes.c_float,             # char alpha, beta
+                ctypes.c_int,                               # use_wlm
+                *wlm_args,
+                ctypes.c_float, ctypes.c_float,             # word alpha, beta
+                ctypes.c_int,                               # n_threads
+                ctypes.POINTER(ctypes.c_int), ctypes.c_int,  # out_ids, max_out
+                ctypes.POINTER(ctypes.c_int),               # out_lens [b]
+                ctypes.POINTER(ctypes.c_float),             # out_scores [b]
+            ]
+        except AttributeError:
+            pass
         _lib = lib
     except (OSError, AttributeError):
         _lib = None
@@ -216,6 +235,94 @@ def beam_search_native(log_probs: np.ndarray, beam_width: int = 32,
     if n < 0:
         return None
     return list(out[:n]), float(score.value)
+
+
+def _dummy_wlm_args():
+    """Placeholder 15-parameter word-LM block for use_wlm=0 batch calls
+    (the C++ side never dereferences it)."""
+    z64 = np.zeros(1, np.uint64)
+    zi = np.zeros(1, np.int32)
+    zf = np.zeros(1, np.float32)
+    zc = np.zeros(1, np.int64)
+    args = (0,
+            z64.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            zi.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), 1,
+            1, 1,
+            zf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            zf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            z64.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            zf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            zf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            zc.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            -1, -1, 0.0)
+    return args, [z64, zi, zf, zc]
+
+
+def beam_search_native_batch(log_probs: np.ndarray, lengths,
+                             beam_width: int = 32, blank: int = BLANK_ID,
+                             prune_k: int = 16,
+                             lm_table: np.ndarray | None = None,
+                             lm_order: int = 0, lm_alpha: float = 0.0,
+                             lm_beta: float = 0.0,
+                             word_ex: dict | None = None,
+                             word_alpha: float = 0.0, word_beta: float = 0.0,
+                             n_threads: int = 0):
+    """[B, T, V] log-probs + [B] lengths -> list of (ids, score), or None.
+
+    Thread-parallel over utterances in C++ (`ctc_beam_search_batch`);
+    id-exact with per-utterance `beam_search_native` calls — the same
+    decoder runs per row.  n_threads <= 0 uses the host's hardware
+    concurrency."""
+    lib = _load_lib()
+    if lib is None or not hasattr(lib, "ctc_beam_search_batch"):
+        return None
+    lp = np.ascontiguousarray(log_probs, dtype=np.float32)
+    if lp.ndim != 3:
+        raise ValueError(f"batch decode needs [B, T, V], got {lp.shape}")
+    b, t_max, v = lp.shape
+    lens = np.ascontiguousarray(lengths, np.int32)
+    if lens.shape != (b,):
+        raise ValueError(f"lengths shape {lens.shape} != ({b},)")
+    if word_ex is not None:
+        if word_alpha == 0.0 and lm_table is None and lm_alpha != 0.0:
+            word_alpha, word_beta = lm_alpha, lm_beta  # back-compat single-LM
+        wargs, keep = _wlm_native_args(word_ex)
+        use_wlm = 1
+    else:
+        wargs, keep = _dummy_wlm_args()
+        use_wlm = 0
+    if lm_table is not None:
+        ctable = np.ascontiguousarray(lm_table, dtype=np.float32)
+        if ctable.size != v ** lm_order:
+            raise ValueError(f"LM table has {ctable.size} entries, expected "
+                             f"{v}^{lm_order} for vocab {v}")
+        keep.append(ctable)
+        table_ptr = ctable.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    else:
+        table_ptr, lm_order = None, 0
+    max_out = t_max + 1
+    out = np.zeros((b, max_out), np.int32)
+    out_lens = np.full(b, -1, np.int32)
+    out_scores = np.zeros(b, np.float32)
+    rc = lib.ctc_beam_search_batch(
+        lp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        b, t_max, v, beam_width, blank, prune_k,
+        table_ptr, lm_order, lm_alpha, lm_beta,
+        use_wlm, *wargs, word_alpha, word_beta, int(n_threads),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), max_out,
+        out_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        out_scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    del keep
+    if rc != 0:
+        return None
+    results = []
+    for i in range(b):
+        n = int(out_lens[i])
+        if n < 0:
+            return None
+        results.append((list(out[i, :n]), float(out_scores[i])))
+    return results
 
 
 def _trailing_word_and_context(prefix, space: int, max_ctx: int):
@@ -392,8 +499,20 @@ def beam_decode(log_probs: np.ndarray, lengths: np.ndarray | None = None,
     lm_kw = dict(lm_table=lm_table, lm_order=lm_order,
                  lm_alpha=lm_alpha, lm_beta=lm_beta, word_ex=word_ex,
                  word_alpha=word_alpha, word_beta=word_beta)
+    n_b = log_probs.shape[0]
+    if n_b > 1:
+        # Thread-parallel native batch decode (id-exact with the per-
+        # utterance path — same C++ decoder per row); None when the library
+        # is absent or predates the batch entry point.
+        lens = (np.asarray(lengths, np.int32) if lengths is not None
+                else np.full(n_b, log_probs.shape[1], np.int32))
+        results = beam_search_native_batch(
+            np.asarray(log_probs, np.float32), lens, beam_width,
+            prune_k=prune_k, **lm_kw)
+        if results is not None:
+            return ["".join(labels[i] for i in ids) for ids, _ in results]
     out = []
-    for b in range(log_probs.shape[0]):
+    for b in range(n_b):
         t = int(lengths[b]) if lengths is not None else log_probs.shape[1]
         lp = np.asarray(log_probs[b, :t], np.float32)
         result = beam_search_native(lp, beam_width, prune_k=prune_k, **lm_kw)

@@ -27,11 +27,13 @@
 // Return the decoded length (<= max_out), or -1 on error.
 
 #include <algorithm>
+#include <atomic>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <limits>
 #include <string>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 
@@ -419,6 +421,70 @@ extern "C" int ctc_beam_search_wlm(
   return BeamSearchImpl(log_probs, t, v, beam_width, blank, prune_k,
                         /*lm_table=*/nullptr, /*lm_order=*/0, 0.0f, 0.0f,
                         out_ids, max_out, out_score, &wlm, alpha, beta);
+}
+
+// Batch decode: B independent utterances fanned out over a host thread pool
+// (decode is eval-/serving-path host work — the reference's ctcdecode ran
+// single-threaded per call, which made its eval cost a real constraint;
+// utterances share only read-only LM state, so batching is embarrassingly
+// parallel).  Covers every fusion mode of the per-utterance entry points:
+// lm_table == nullptr disables char fusion, use_wlm == 0 disables word
+// fusion.  Results are id-exact with B sequential per-utterance calls — the
+// same BeamSearchImpl runs per row.
+//
+//   log_probs: [b, t_max, v];  lens: [b] valid frames per row
+//   n_threads <= 0 -> hardware concurrency (capped at b)
+//   out_ids: [b, max_out];  out_lens: [b] decoded length or -1 on row error
+//   out_scores: [b] (nullable)
+// Returns 0, or -1 on malformed batch/LM parameters (before any decode).
+extern "C" int ctc_beam_search_batch(
+    const float* log_probs, const int32_t* lens, int b, int t_max, int v,
+    int beam_width, int blank, int prune_k, const float* lm_table,
+    int lm_order, float alpha, float beta, int use_wlm, int space_id,
+    const uint64_t* word_hash, const int32_t* word_lm_id, int n_words,
+    int order, int vlm, const float* uni_logp, const float* uni_backoff,
+    const uint64_t* ngram_keys, const float* ngram_logp,
+    const float* ngram_backoff, const int64_t* ngram_counts, int bos_id,
+    int unk_id, float floor_logp, float w_alpha, float w_beta, int n_threads,
+    int* out_ids, int max_out, int32_t* out_lens, float* out_scores) {
+  if (b <= 0 || t_max < 0 || v <= 0) return -1;
+  WordLm wlm;
+  if (use_wlm &&
+      !InitWordLm(&wlm, space_id, word_hash, word_lm_id, n_words, order, vlm,
+                  uni_logp, uni_backoff, ngram_keys, ngram_logp,
+                  ngram_backoff, ngram_counts, bos_id, unk_id, floor_logp))
+    return -1;
+  const WordLm* wlm_p = use_wlm ? &wlm : nullptr;
+
+  int nt = n_threads > 0 ? n_threads
+                         : static_cast<int>(std::thread::hardware_concurrency());
+  if (nt < 1) nt = 1;
+  if (nt > b) nt = b;
+
+  std::atomic<int> next_row{0};
+  auto worker = [&]() {
+    for (;;) {
+      const int i = next_row.fetch_add(1, std::memory_order_relaxed);
+      if (i >= b) return;
+      const int t = lens[i] < t_max ? (lens[i] < 0 ? 0 : lens[i]) : t_max;
+      float score = 0.0f;
+      out_lens[i] = BeamSearchImpl(
+          log_probs + static_cast<int64_t>(i) * t_max * v, t, v, beam_width,
+          blank, prune_k, lm_table, lm_order, alpha, beta,
+          out_ids + static_cast<int64_t>(i) * max_out, max_out, &score, wlm_p,
+          w_alpha, w_beta);
+      if (out_scores) out_scores[i] = score;
+    }
+  };
+  if (nt == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(nt);
+    for (int k = 0; k < nt; ++k) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+  return 0;
 }
 
 // Hybrid shallow fusion: char n-gram table (alpha/beta, once per appended

@@ -212,6 +212,37 @@ def main():
                 result["legs"][key] = r
                 print(key, r, flush=True)
 
+    # --- Batched native decode (thread-parallel C++ over utterances): the
+    # production eval path (`beam_decode` on [B, T, V] uses it when the
+    # library carries ctc_beam_search_batch).  Id-exact with per-utterance
+    # calls; on multi-core hosts the speedup is ~min(cores, B) — this
+    # machine's core count is recorded so the number reads honestly.
+    if native:
+        t_max = max(lens)
+        lp_pad = np.full((len(lps), t_max, lps[0].shape[1]), -30.0, np.float32)
+        for i, (a, tl) in enumerate(zip(lps, lens)):
+            lp_pad[i, :tl] = a[:tl]
+        lens_arr = np.asarray(lens, np.int32)
+        for width in (16, 64):
+            for fusion in ("none", "hybrid"):
+                ca, cb = weights["char"][:2]
+                ha, hb, hwa, hwb = weights["hybrid"]
+                kw = {}
+                if fusion == "hybrid":
+                    kw = dict(lm=clm, lm_alpha=ha, lm_beta=hb,
+                              word_lm=wlm, word_alpha=hwa, word_beta=hwb)
+                t0 = time.perf_counter()
+                hyps = beam_decode(lp_pad, lens_arr, beam_width=width, **kw)
+                wall = time.perf_counter() - t0
+                key = f"beam{width}_{fusion}_native_batch"
+                result["legs"][key] = {
+                    "utts_per_s": round(len(lps) / wall, 2),
+                    "wer": round(corpus_wer(refs, hyps), 4),
+                    "n_utts": len(lps), "threads": "hw_concurrency"}
+                print(key, result["legs"][key], flush=True)
+        import multiprocessing
+        result["host_cores"] = multiprocessing.cpu_count()
+
     # --- Live-session final rescore at the deployment point: one utterance's
     # accumulated log-probs, beam 64 hybrid (cli/serve.py transcribe mode).
     j = int(np.argsort(lens)[len(lens) // 2])  # median-length utterance

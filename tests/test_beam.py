@@ -78,6 +78,79 @@ def test_beam_decode_strings():
     assert out == ["AB"]
 
 
+def _toy_lms():
+    from aas_enhancement_tpu.decode.lm import CharNGramLM, WordNGramLM
+    texts = ["THE CAT SAT", "A DOG RAN FAR", "THE DOG SAT ON A CAT",
+             "A CAT RAN"] * 3
+    clm = CharNGramLM(order=3).fit_texts(texts)
+    wlm = WordNGramLM().fit_texts(texts)
+    return clm, wlm
+
+
+def test_batch_decode_matches_single_all_modes():
+    """Thread-parallel batch entry point == per-utterance native calls,
+    every fusion mode (none/char/word/hybrid), ragged lengths."""
+    from aas_enhancement_tpu.decode.beam import beam_search_native_batch
+    clm, wlm = _toy_lms()
+    rng = np.random.default_rng(3)
+    b, t, v = 6, 40, len(LABELS)
+    lp = np.stack([_rand_log_probs(t, v, seed=i) for i in range(b)])
+    lens = rng.integers(15, t + 1, b).astype(np.int32)
+    modes = {
+        "none": dict(),
+        "char": dict(lm_table=clm.dense_table(), lm_order=clm.order,
+                     lm_alpha=1.0, lm_beta=0.5),
+        "word": dict(word_ex=wlm.export_native(), word_alpha=0.8,
+                     word_beta=0.3),
+        "hybrid": dict(lm_table=clm.dense_table(), lm_order=clm.order,
+                       lm_alpha=1.0, lm_beta=0.5,
+                       word_ex=wlm.export_native(), word_alpha=0.8,
+                       word_beta=0.3),
+    }
+    for name, kw in modes.items():
+        batch = beam_search_native_batch(lp, lens, beam_width=12,
+                                         prune_k=8, **kw)
+        if batch is None:
+            pytest.skip("native decoder unavailable")
+        for i in range(b):
+            single = beam_search_native(lp[i, :lens[i]], 12, prune_k=8, **kw)
+            assert batch[i][0] == single[0], (name, i)
+            np.testing.assert_allclose(batch[i][1], single[1], atol=1e-5,
+                                       err_msg=name)
+
+
+def test_batch_decode_thread_count_invariant():
+    """Decodes are identical for any n_threads (rows are independent)."""
+    from aas_enhancement_tpu.decode.beam import beam_search_native_batch
+    clm, wlm = _toy_lms()
+    lp = np.stack([_rand_log_probs(40, len(LABELS), seed=i) for i in range(5)])
+    lens = np.full(5, 40, np.int32)
+    kw = dict(lm_table=clm.dense_table(), lm_order=clm.order, lm_alpha=1.0,
+              lm_beta=0.5, word_ex=wlm.export_native(), word_alpha=0.8,
+              word_beta=0.3)
+    base = beam_search_native_batch(lp, lens, beam_width=12, **kw)
+    if base is None:
+        pytest.skip("native decoder unavailable")
+    for nt in (1, 3, 8):
+        r = beam_search_native_batch(lp, lens, beam_width=12, n_threads=nt,
+                                     **kw)
+        assert [x[0] for x in r] == [x[0] for x in base], nt
+
+
+def test_beam_decode_uses_batch_path_identically():
+    """beam_decode on a [B, T, V] batch == per-row beam_decode calls (the
+    batched fast path must be behavior-invisible)."""
+    clm, wlm = _toy_lms()
+    lp = np.stack([_rand_log_probs(30, len(LABELS), seed=i) for i in range(4)])
+    lens = np.array([30, 22, 30, 17], np.int32)
+    kw = dict(beam_width=12, lm=clm, lm_alpha=1.0, lm_beta=0.5, word_lm=wlm,
+              word_alpha=0.8, word_beta=0.3)
+    batched = beam_decode(lp, lens, **kw)
+    per_row = [beam_decode(lp[i][None], lens[i:i + 1], **kw)[0]
+               for i in range(4)]
+    assert batched == per_row
+
+
 def test_decode_path_never_builds_implicitly(monkeypatch):
     """Loading/decoding must never shell out to make (VERDICT r3 #5):
     compiling belongs to the explicit build() entry point only."""
