@@ -95,7 +95,11 @@ def main():
     from aas_enhancement_tpu.config import (AMConfig, Config, DataConfig,
                                             TrainConfig)
     cfg = Config(am=AMConfig(rnn_hidden=256, rnn_layers=3, conv_channels=16),
-                 train=TrainConfig(objective="am", lr_am=6e-4, log_every=50),
+                 # epochs is a backstop only — --steps is the budget (without
+                 # the override, TrainConfig.epochs=10 caps a 384-utt/B=16 run
+                 # at ~250 steps).
+                 train=TrainConfig(objective="am", lr_am=6e-4, log_every=50,
+                                   epochs=100000),
                  data=DataConfig(num_buckets=2))
     cfg_path = os.path.join(wd, "config.json")
     with open(cfg_path, "w") as f:
