@@ -58,10 +58,14 @@ def evaluate_wer(cfg: Config, am_params, manifest, g_params=None,
                  batch_size: int = 4, decoder: str = "greedy",
                  beam_width: int = 32, lm=None, lm_alpha: float = 0.0,
                  lm_beta: float = 0.0, word_lm=None, word_alpha: float = 0.0,
-                 word_beta: float = 0.0, forward=None) -> dict:
+                 word_beta: float = 0.0, forward=None,
+                 per_utt: bool = False) -> dict:
     """WER over a manifest (greedy or native beam decode); enhances first if
     g_params given.  `manifest` may be a path or a prebuilt AudioDataset;
-    `forward` may be a prebuilt make_eval_forward result (reused across calls)."""
+    `forward` may be a prebuilt make_eval_forward result (reused across calls).
+    `per_utt` adds a per-utterance word-error-count list (stable bucketed
+    iteration order — two calls with the same manifest/batch settings align
+    row-for-row) for paired decoder comparisons on identical utterances."""
     ds = manifest if isinstance(manifest, AudioDataset) else eval_dataset(cfg, manifest)
     if forward is None:
         forward = make_eval_forward(cfg, use_enhancer=g_params is not None)
@@ -92,8 +96,13 @@ def evaluate_wer(cfg: Config, am_params, manifest, g_params=None,
     # (48 utts), so every headline WER ships its sampling error.
     from aas_enhancement_tpu.decode.wer import corpus_wer_ci
     _, lo, hi = corpus_wer_ci(refs, hyps)
-    return {"wer": w, "wer_ci95": [lo, hi], "cer": c, "utterances": len(refs),
-            "sample_ref": refs[0] if refs else "", "sample_hyp": hyps[0] if hyps else ""}
+    out = {"wer": w, "wer_ci95": [lo, hi], "cer": c, "utterances": len(refs),
+           "sample_ref": refs[0] if refs else "", "sample_hyp": hyps[0] if hyps else ""}
+    if per_utt:
+        from aas_enhancement_tpu.decode.wer import edit_distance
+        out["per_utt"] = [edit_distance(r.split(), h.split())
+                          for r, h in zip(refs, hyps)]
+    return out
 
 
 def si_snr(est: np.ndarray, ref: np.ndarray) -> float:

@@ -108,6 +108,13 @@ def main():
     train_manifests = [sweep["train_noisy"]]
     clm = CharNGramLM.from_manifests(train_manifests, order=4)
     wlm = WordNGramLM.from_manifests(train_manifests)
+    # Warm the cached exports OUTSIDE the timed legs: the char dense table
+    # (V^order entries, pure-python backoff bake) takes seconds and would
+    # otherwise land entirely on the first char leg's wall clock.
+    t0 = time.perf_counter()
+    clm.dense_table()
+    wlm.export_native()
+    print(f"LM export warm-up: {time.perf_counter() - t0:.2f}s", flush=True)
 
     # --- One device pass over the held-out test split: log-probs + refs.
     from aas_enhancement_tpu.labels import decode_ids
