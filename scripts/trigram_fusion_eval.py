@@ -48,6 +48,11 @@ def main():
     p.add_argument("--am-steps", type=int, default=1500)
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--tri-classes", type=int, default=3)
+    p.add_argument("--lexicon-size", type=int, default=100,
+                   help="Language lexicon size — 1000+ exercises the sparse "
+                        "n-gram store at realistic vocabulary scale (the "
+                        "text-only LM corpus must then cover the lexicon; "
+                        "scale --lm-sentences with it)")
     p.add_argument("--lm-sentences", type=int, default=20000,
                    help="text-only LM training corpus size (the KenLM "
                         "pattern: LM text >> transcribed audio)")
@@ -69,6 +74,7 @@ def main():
     t0 = time.time()
     result = {"n_utts": args.n_utts, "am_steps": args.am_steps,
               "tri_classes": args.tri_classes,
+              "lexicon_size": args.lexicon_size,
               "lm_sentences": args.lm_sentences,
               "snr_range": [args.snr_low, args.snr_high]}
     out_path = args.out
@@ -81,7 +87,7 @@ def main():
 
     corpus_kw = dict(snr_range=(args.snr_low, args.snr_high),
                      n_words=(3, 8), tri_classes=args.tri_classes,
-                     reverb_prob=0.3)
+                     lexicon_size=args.lexicon_size, reverb_prob=0.3)
     train_m = generate_corpus(os.path.join(wd, "corpus"), n_utts=args.n_utts,
                               seed=7, **corpus_kw)
     dev_m = generate_corpus(os.path.join(wd, "corpus_dev"),
@@ -114,7 +120,8 @@ def main():
     save()
 
     # --- 3. text-only LM corpus from the SAME language; fit bigram + trigram.
-    lang = default_language(0, tri_classes=args.tri_classes)
+    lang = default_language(0, size=args.lexicon_size,
+                            tri_classes=args.tri_classes)
     rng = np.random.default_rng(424242)
     texts = [lang.sample_sentence(rng, n_words=(3, 8))
              for _ in range(args.lm_sentences)]
