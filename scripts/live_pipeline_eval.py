@@ -38,6 +38,12 @@ def main():
     p.add_argument("--beam-width", type=int, default=16)
     p.add_argument("--prune-k", type=int, default=8)
     p.add_argument("--feed-seconds", type=float, default=0.1)
+    p.add_argument("--g-checkpoint", default="",
+                   help="serve enhancer weights from this train-CLI "
+                        "checkpoint dir instead of the workdir pickle "
+                        "(e.g. the streaming-finetuned ck_stream_ft from "
+                        "scripts/streaming_finetune_eval.py — measures the "
+                        "serve `--weights streaming` live stack)")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--out", default="")
     args = p.parse_args()
@@ -63,6 +69,10 @@ def main():
         trained = pickle.load(f)
     cfg = Config.from_json(trained["cfg_json"])
     am, g = trained["am_params"], trained["g_params"]
+    if args.g_checkpoint:
+        from aas_enhancement_tpu.train.loop import load_state
+        ft_state, _ = load_state(args.g_checkpoint)
+        g = jax.device_get(ft_state.g_params)
 
     sr = cfg.audio.sample_rate
     step = int(args.feed_seconds * sr)
@@ -86,7 +96,8 @@ def main():
         return refs, greedy, lps
 
     t0 = time.time()
-    result = {"workdir": args.workdir, "chunk_s": args.chunk,
+    result = {"workdir": args.workdir, "g_checkpoint": args.g_checkpoint,
+              "chunk_s": args.chunk,
               "lookahead_s": args.lookahead, "history_s": args.history,
               "latency_s": args.chunk + args.lookahead}
 

@@ -37,6 +37,11 @@ def main():
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--lr-scale", type=float, default=0.5,
                    help="fine-tune G at lr_g * this (keep D/AM lrs)")
+    p.add_argument("--save-checkpoint", default="",
+                   help="also write the fine-tuned state as a train-CLI "
+                        "checkpoint dir (servable via `serve "
+                        "--streaming-checkpoint`); default "
+                        "<workdir>/ck_stream_ft, '-' to skip")
     p.add_argument("--out", default="")
     args = p.parse_args()
 
@@ -104,6 +109,22 @@ def main():
     result["ft_loss_last"] = [r["loss_g"] for r in recs if "loss_g" in r][-1]
 
     import jax
+
+    # Persist the fine-tuned state as a train-CLI checkpoint: this is the
+    # artifact `cli/serve.py --streaming-checkpoint` loads for its
+    # `--weights auto` transcribe-mode pick (the serve docstring names this
+    # script as the source).
+    if args.save_checkpoint != "-":
+        from aas_enhancement_tpu.utils import checkpoint as ckpt
+        ck_dir = args.save_checkpoint or os.path.join(wd, "ck_stream_ft")
+        os.makedirs(ck_dir, exist_ok=True)
+        with open(os.path.join(ck_dir, "config.json"), "w") as f:
+            f.write(ft_cfg.to_json())
+        mgr = ckpt.make_manager(ck_dir)
+        ckpt.save(mgr, int(state2.step), jax.device_get(state2))
+        mgr.close()
+        result["checkpoint_dir"] = ck_dir
+
     g_ft = jax.device_get(state2.g_params)
     result["wer_streamed_after"] = streamed_wer(g_ft, "after")
     result["wer_offline_after"] = evaluate_wer(
