@@ -18,7 +18,12 @@ Defaults encode the round-3 MEASURED deployment recipe (VERDICT r3 #6):
   streaming_finetune_interaction).  `--weights auto` therefore picks the
   streaming-finetuned checkpoint (when one is given via
   `--streaming-checkpoint`) in transcribe mode and the base checkpoint in
-  enhance mode.
+  enhance mode — but ONLY when the fine-tune was trained AT the serving
+  operating point: round 4 measured that a 0.2 s-lookahead fine-tune
+  deployed at the 0.5 s transcribe point HURTS (harsh live hybrid
+  18.5%->22.7%, live_pipeline_r4_hard_ft.json), so `auto` checks the
+  checkpoint's recorded stream_{chunk,lookahead,history}_s and falls back
+  to offline weights on mismatch (ft_point_matches/guard_streaming_pick).
 
 Usage:
   python -m aas_enhancement_tpu.cli.serve --checkpoint ck_aas \
@@ -59,6 +64,46 @@ def pick_weights(weights: str, transcribe: bool,
     if weights == "streaming" and not have_streaming:
         raise SystemExit("--weights streaming needs --streaming-checkpoint")
     return weights
+
+
+def ft_point_matches(ft_cfg, chunk: float, lookahead: float,
+                     history: float, tol: float = 1e-6) -> bool:
+    """True iff the fine-tuned checkpoint was trained AT this serving point.
+
+    A streaming fine-tune specializes the enhancer to one windowing; serving
+    it at a different one is measurably harmful (live_pipeline_r4_hard_ft
+    .json: a 0.2 s-lookahead fine-tune deployed at the 0.5 s transcribe
+    point costs 18.5%->22.7% live hybrid WER under harsh SNR).  A checkpoint
+    whose config does not record a streaming fine-tune at all (e.g. a plain
+    train-CLI checkpoint) never matches — unknown provenance is off-point.
+    """
+    t = ft_cfg.train
+    return (t.streaming_finetune
+            and abs(t.stream_chunk_s - chunk) <= tol
+            and abs(t.stream_lookahead_s - lookahead) <= tol
+            and abs(t.stream_history_s - history) <= tol)
+
+
+def guard_streaming_pick(requested: str, ft_cfg, chunk: float,
+                         lookahead: float, history: float):
+    """Final weight choice once the streaming checkpoint's config is known.
+
+    Returns (which, warning_or_None): `auto` falls back to offline weights
+    when the fine-tune's recorded operating point differs from the serving
+    point (the measured-safe default); an explicit `--weights streaming` is
+    obeyed but warned about.
+    """
+    if ft_point_matches(ft_cfg, chunk, lookahead, history):
+        return "streaming", None
+    t = ft_cfg.train
+    trained = (t.stream_chunk_s, t.stream_lookahead_s, t.stream_history_s)
+    msg = (f"streaming checkpoint fine-tuned at chunk/lookahead/history "
+           f"{trained} but serving at {(chunk, lookahead, history)} — "
+           f"off-point fine-tunes hurt (live_pipeline_r4_hard_ft.json)")
+    if requested == "auto":
+        return "offline", msg + "; --weights auto falls back to offline"
+    return "streaming", ("WARNING: " + msg
+                         + " (explicit --weights streaming, serving anyway)")
 
 
 def main(argv=None) -> None:
@@ -105,11 +150,16 @@ def main(argv=None) -> None:
     state, cfg = load_state(args.checkpoint)
     g_params = state.g_params
     if which == "streaming":
-        ft_state, _ = load_state(args.streaming_checkpoint)
+        ft_state, ft_cfg = load_state(args.streaming_checkpoint)
         if not ft_state.g_params:
             raise SystemExit(f"{args.streaming_checkpoint}: checkpoint has "
                              f"no enhancer params")
-        g_params = ft_state.g_params
+        which, warn = guard_streaming_pick(args.weights, ft_cfg,
+                                           chunk, lookahead, history)
+        if warn:
+            print(f"serve: {warn}", flush=True)
+        if which == "streaming":
+            g_params = ft_state.g_params
     if not g_params and not (args.transcribe and state.am_params):
         raise SystemExit(f"{args.checkpoint}: checkpoint has no enhancer "
                          f"(objective was {cfg.train.objective!r})")

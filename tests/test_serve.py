@@ -125,3 +125,38 @@ def test_cli_defaults_encode_measured_recipe():
     assert cli_serve.pick_weights("streaming", True, True) == "streaming"
     with pytest.raises(SystemExit):
         cli_serve.pick_weights("streaming", False, False)
+
+
+def test_ft_operating_point_guard():
+    """`--weights auto` must refuse a fine-tune trained at a different
+    operating point (round-4 measurement: off-point fine-tunes hurt the
+    fully-live stack, live_pipeline_r4_hard_ft.json 18.5%->22.7%)."""
+    import dataclasses
+
+    from aas_enhancement_tpu.cli import serve as cli_serve
+    from aas_enhancement_tpu.config import Config
+
+    def ft_cfg(chunk, lookahead, history, finetuned=True):
+        cfg = Config()
+        return cfg.replace(train=dataclasses.replace(
+            cfg.train, streaming_finetune=finetuned, stream_chunk_s=chunk,
+            stream_lookahead_s=lookahead, stream_history_s=history))
+
+    matched = ft_cfg(1.0, 0.5, 0.5)
+    off_point = ft_cfg(1.0, 0.2, 0.5)
+    plain = ft_cfg(1.0, 0.5, 0.5, finetuned=False)
+
+    assert cli_serve.ft_point_matches(matched, 1.0, 0.5, 0.5)
+    assert not cli_serve.ft_point_matches(off_point, 1.0, 0.5, 0.5)
+    # A checkpoint that never ran the streaming fine-tune never matches.
+    assert not cli_serve.ft_point_matches(plain, 1.0, 0.5, 0.5)
+
+    which, warn = cli_serve.guard_streaming_pick("auto", matched, 1.0, 0.5, 0.5)
+    assert (which, warn) == ("streaming", None)
+    # auto + mismatch -> measured-safe fallback to offline, with a warning.
+    which, warn = cli_serve.guard_streaming_pick("auto", off_point, 1.0, 0.5, 0.5)
+    assert which == "offline" and "falls back" in warn
+    # Explicit --weights streaming is obeyed but warned about.
+    which, warn = cli_serve.guard_streaming_pick("streaming", off_point,
+                                                 1.0, 0.5, 0.5)
+    assert which == "streaming" and warn.startswith("WARNING")
