@@ -64,6 +64,10 @@ def main(argv=None) -> None:
                    help="train G through the block-bidirectional streaming "
                         "forward (chunk/lookahead/history from the config) so "
                         "chunked inference matches training")
+    p.add_argument("--streaming-finetune-am", action="store_true",
+                   help="objective am: train through the block-streaming AM "
+                        "forward (models/am.am_blockwise_apply) — live-"
+                        "deployment AM adaptation")
     p.add_argument("--checkpoint-dir", default="")
     p.add_argument("--continue-from", dest="resume", action="store_true",
                    help="resume from the latest checkpoint in --checkpoint-dir")
@@ -99,6 +103,8 @@ def main(argv=None) -> None:
         tr["spec_augment"] = True
     if args.streaming_finetune:
         tr["streaming_finetune"] = True
+    if args.streaming_finetune_am:
+        tr["streaming_finetune_am"] = True
     if args.profile_dir:
         tr["profile_dir"] = args.profile_dir
     cfg = cfg.replace(train=dataclasses.replace(cfg.train, **tr))

@@ -127,6 +127,11 @@ class TrainConfig:
                                  # streaming forward (models/enhancer.py::
                                  # blockwise_apply) so deployment-time chunked
                                  # inference matches training (VERDICT r2 #3)
+    streaming_finetune_am: bool = False  # "am" objective trains through the
+                                 # block-streaming AM forward (models/am.py::
+                                 # am_blockwise_apply) at the same stream_*
+                                 # operating point — live-deployment AM
+                                 # adaptation (scripts/am_streaming_finetune.py)
     stream_chunk_s: float = 1.0       # must match the inference operating
     stream_lookahead_s: float = 0.2   # point (streaming.StreamingEnhancer)
     stream_history_s: float = 1.0

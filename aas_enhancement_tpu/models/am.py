@@ -83,3 +83,56 @@ class AcousticModel(nn.Module):
             x.astype(jnp.float32))
         logits = apply_time_mask(logits, out_lengths)
         return logits, out_lengths
+
+
+def am_blockwise_apply(cfg: AMConfig, params, am_in: jnp.ndarray,
+                       lengths: jnp.ndarray, chunk_f: int, look_f: int,
+                       hist_f: int):
+    """Streaming-matched AM forward: windows of [history|chunk|lookahead]
+    input frames, only each window's chunk AM frames emitted — the
+    training-time mirror of streaming_asr.StreamingRecognizer's block
+    recognition (the BiGRU forward state is warm only across `hist_f` frames,
+    the backward direction sees only `look_f` future frames).  Fine-tuning the
+    AM through this forward (TrainConfig.streaming_finetune_am) adapts it to
+    live block-streaming deployment, the AM-side counterpart of
+    enhancer.blockwise_apply.
+
+    Frame arithmetic (streaming_asr.py module docstring): AM frame j centers
+    on input frame 2j (conv1 time stride 2, SAME), so window-local AM frames
+    [hist_f/2, (hist_f+chunk_f)/2) are exactly the chunk's absolute AM frames
+    — `hist_f` and `chunk_f` must be EVEN.  Block 0's leading zero history
+    matches the stream-start buffer; all windows batch into ONE AcousticModel
+    call so the whole thing stays a single XLA program.  Differences vs live
+    inference: normalization uses full-utterance moments (the running moments
+    converge there) and the trailing flush block is approximated by the last
+    chunk's zero-padded lookahead.
+
+    Returns (logits [B, ceil(T/2), V] on the OFFLINE frame grid, out_lengths)
+    so CTC and greedy decoding consume it exactly like the offline forward.
+    """
+    if chunk_f % 2 or hist_f % 2:
+        raise ValueError(
+            f"chunk_f ({chunk_f}) and hist_f ({hist_f}) must be EVEN input "
+            f"frames for exact AM frame stitching (conv1 time stride 2)")
+    b, t, f = am_in.shape
+    nb = -(-t // chunk_f)
+    t_pad = nb * chunk_f
+    window = hist_f + chunk_f + look_f
+    x = jnp.pad(am_in, ((0, 0), (hist_f, t_pad - t + look_f), (0, 0)))
+    starts = jnp.arange(nb, dtype=jnp.int32) * chunk_f
+    idx = starts[:, None] + jnp.arange(window, dtype=jnp.int32)[None, :]
+    blocks = x[:, idx, :].reshape(b * nb, window, f)
+    # Valid input frames per block: window position j holds original frame
+    # starts[k] - hist_f + j; block 0's synthetic leading silence counts as
+    # valid input (zeros), exactly like the stream-start history buffer.
+    blk_len = jnp.clip(lengths.astype(jnp.int32)[:, None]
+                       - (starts[None, :] - hist_f), 0, window)
+    logits, _ = AcousticModel(cfg).apply(params, blocks,
+                                         blk_len.reshape(b * nb))
+    h_am, c_am = hist_f // 2, chunk_f // 2
+    logits = logits.reshape(b, nb, -1, cfg.vocab_size)[
+        :, :, h_am: h_am + c_am, :]
+    out_lengths = conv_out_length(lengths, 11, 2, "SAME")
+    t_off = -(-t // 2)                       # the offline ceil(T/2) grid
+    logits = logits.reshape(b, nb * c_am, cfg.vocab_size)[:, :t_off, :]
+    return apply_time_mask(logits, out_lengths), out_lengths

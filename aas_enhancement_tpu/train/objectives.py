@@ -256,7 +256,18 @@ def am_pretrain_loss(cfg: Config, am_params, batch,
         t = cfg.train
         am_in = spec_augment(rng, am_in, fl, t.sa_time_masks, t.sa_time_width,
                              t.sa_freq_masks, t.sa_freq_width)
-    logits, out_lengths = AcousticModel(cfg.am).apply(am_params, am_in, fl)
+    if cfg.train.streaming_finetune_am:
+        # Live-deployment adaptation: the block-streaming AM forward at the
+        # serving operating point (mirror of the enhancer streaming_finetune).
+        from aas_enhancement_tpu.models.am import am_blockwise_apply
+        fps = cfg.audio.sample_rate / cfg.audio.hop_length
+        logits, out_lengths = am_blockwise_apply(
+            cfg.am, am_params, am_in, fl,
+            chunk_f=max(2, int(cfg.train.stream_chunk_s * fps)),
+            look_f=int(cfg.train.stream_lookahead_s * fps),
+            hist_f=int(cfg.train.stream_history_s * fps))
+    else:
+        logits, out_lengths = AcousticModel(cfg.am).apply(am_params, am_in, fl)
     logit_paddings = 1.0 - time_mask(out_lengths, logits.shape[1])
     loss = ctc_loss_mean(logits, logit_paddings, batch["labels"],
                          batch["label_paddings"], weights=_row_weights(batch),

@@ -165,3 +165,27 @@ def test_streaming_finetune_loss_decreases(tmp_path):
     assert len(vals) >= 10
     assert np.mean(vals[-3:]) < np.mean(vals[:3]), (
         f"streaming-finetune loss did not decrease: {vals[:3]} -> {vals[-3:]}")
+
+
+@pytest.mark.slow
+def test_am_streaming_finetune_loss_decreases(tmp_path):
+    """The AM objective trains through the block-streaming AM forward
+    (TrainConfig.streaming_finetune_am) and still learns."""
+    from aas_enhancement_tpu.config import AMConfig, DataConfig, TrainConfig
+    from aas_enhancement_tpu.data.synthetic import generate_corpus
+    from aas_enhancement_tpu.train.loop import train
+
+    corpus = generate_corpus(str(tmp_path), n_utts=8, seed=12, vocab_chars=6)
+    cfg = Config(
+        am=AMConfig(rnn_hidden=32, rnn_layers=1, conv_channels=8),
+        train=TrainConfig(objective="am", batch_size=4, epochs=100,
+                          log_every=1, lr_am=2e-3,
+                          streaming_finetune_am=True, stream_chunk_s=0.5,
+                          stream_lookahead_s=0.1, stream_history_s=0.5),
+        data=DataConfig(num_buckets=1),
+    )
+    _, recs = train(cfg, corpus["clean"], max_steps=14)
+    vals = [r["loss_ctc_am"] for r in recs if "loss_ctc_am" in r]
+    assert len(vals) >= 10
+    assert np.mean(vals[-3:]) < np.mean(vals[:3]), (
+        f"AM streaming-finetune loss did not decrease: {vals[:3]} -> {vals[-3:]}")

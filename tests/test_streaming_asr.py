@@ -142,3 +142,94 @@ def test_rejects_unaligned_windows(setup):
         # 0.01 s = 160 samples = ONE hop -> odd frame count, not stitchable.
         StreamingRecognizer(cfg, am_params, chunk_seconds=0.5,
                             history_seconds=0.01)
+
+
+# -------------------------------------------- streaming-aware AM training
+
+def test_am_blockwise_single_window_matches_full(setup):
+    """One even-length window covering the whole utterance (no history or
+    lookahead) must reproduce the offline AM forward exactly — the window is
+    the same even-parity SAME-padding geometry, and the masked ops make the
+    trailing pad frames inert."""
+    from aas_enhancement_tpu.models.am import am_blockwise_apply
+
+    cfg, am_params, _ = setup
+    rng = np.random.default_rng(0)
+    t, f = 40, cfg.audio.num_bins
+    am_in = rng.standard_normal((2, t, f)).astype(np.float32)
+    lengths = np.array([t, 29], np.int32)
+    full, full_len = AcousticModel(cfg.am).apply(am_params, am_in, lengths)
+    block, blk_len = am_blockwise_apply(cfg.am, am_params, am_in, lengths,
+                                        chunk_f=48, look_f=0, hist_f=0)
+    np.testing.assert_array_equal(np.asarray(blk_len), np.asarray(full_len))
+    assert block.shape == full.shape
+    np.testing.assert_allclose(np.asarray(block), np.asarray(full),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_am_blockwise_shapes_and_masking(setup):
+    from aas_enhancement_tpu.models.am import am_blockwise_apply
+
+    cfg, am_params, _ = setup
+    rng = np.random.default_rng(1)
+    t, f = 53, cfg.audio.num_bins
+    am_in = rng.standard_normal((2, t, f)).astype(np.float32)
+    lengths = np.array([t, 20], np.int32)
+    out, out_len = am_blockwise_apply(cfg.am, am_params, am_in, lengths,
+                                      chunk_f=16, look_f=5, hist_f=8)
+    assert out.shape == (2, -(-t // 2), cfg.am.vocab_size)
+    assert np.all(np.isfinite(np.asarray(out)))
+    np.testing.assert_array_equal(np.asarray(out_len), [27, 10])
+    # Frames past out_lengths stay zero (apply_time_mask at the stitch).
+    np.testing.assert_array_equal(np.asarray(out)[1, 10:], 0.0)
+
+
+def test_am_blockwise_matches_streaming_recognizer_frames(setup):
+    """The training-time blockwise AM forward approximates the LIVE
+    StreamingRecognizer emission: same frame count, high logit agreement in
+    the interior (differences: running vs full-utterance normalization and
+    the flush block's geometry)."""
+    cfg, am_params, _ = setup
+    wav = synth_utterance("BLOCKWISE TRAINING MATCHES LIVE", seed=7)
+    rec = StreamingRecognizer(cfg, am_params, chunk_seconds=1.0,
+                              lookahead_seconds=0.5, history_seconds=0.5,
+                              collect_logits=True)
+    rec.feed(wav)
+    rec.flush()
+    live = rec.log_probs()
+
+    from aas_enhancement_tpu.models.am import am_blockwise_apply
+    from aas_enhancement_tpu.ops.masking import masked_normalize
+    from aas_enhancement_tpu.train.objectives import device_features
+
+    _, log_mag, fl = device_features(cfg, jnp.asarray(wav)[None],
+                                     jnp.array([len(wav)], np.int32))
+    am_in = masked_normalize(log_mag, fl)
+    fps = cfg.audio.sample_rate // cfg.audio.hop_length
+    logits, out_len = am_blockwise_apply(
+        cfg.am, am_params, am_in, fl, chunk_f=int(1.0 * fps),
+        look_f=int(0.5 * fps), hist_f=int(0.5 * fps))
+    n = int(out_len[0])
+    assert n == len(live)
+    # Interior agreement (past the running-normalization warmup): the
+    # training forward and the live emission see the same window geometry,
+    # differing only in the normalization moments, so their log-probs must
+    # correlate strongly once the running moments have converged.
+    lp_blk = np.asarray(jax.nn.log_softmax(logits[0, :n], axis=-1))
+    a, b = lp_blk[n // 2:].ravel(), live[n // 2:].ravel()
+    corr = float(np.corrcoef(a, b)[0, 1])
+    assert corr > 0.9, f"blockwise vs live interior log-prob corr {corr}"
+
+
+def test_am_blockwise_rejects_odd_windows(setup):
+    from aas_enhancement_tpu.models.am import am_blockwise_apply
+
+    cfg, am_params, _ = setup
+    am_in = np.zeros((1, 32, cfg.audio.num_bins), np.float32)
+    lengths = np.array([32], np.int32)
+    with pytest.raises(ValueError):
+        am_blockwise_apply(cfg.am, am_params, am_in, lengths,
+                           chunk_f=15, look_f=0, hist_f=0)
+    with pytest.raises(ValueError):
+        am_blockwise_apply(cfg.am, am_params, am_in, lengths,
+                           chunk_f=16, look_f=0, hist_f=3)
