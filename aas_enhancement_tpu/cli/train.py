@@ -68,6 +68,14 @@ def main(argv=None) -> None:
                    help="objective am: train through the block-streaming AM "
                         "forward (models/am.am_blockwise_apply) — live-"
                         "deployment AM adaptation")
+    p.add_argument("--am-through-enhancer", action="store_true",
+                   help="objective am: feed the AM the FROZEN enhancer's "
+                        "output features instead of the raw input "
+                        "(deployment-distribution adaptation); supply the "
+                        "enhancer weights with --g-checkpoint")
+    p.add_argument("--g-checkpoint",
+                   help="trained enhancer checkpoint dir — the frozen G for "
+                        "--am-through-enhancer")
     p.add_argument("--checkpoint-dir", default="")
     p.add_argument("--continue-from", dest="resume", action="store_true",
                    help="resume from the latest checkpoint in --checkpoint-dir")
@@ -105,6 +113,10 @@ def main(argv=None) -> None:
         tr["streaming_finetune"] = True
     if args.streaming_finetune_am:
         tr["streaming_finetune_am"] = True
+    if args.am_through_enhancer:
+        if args.objective != "am":
+            p.error("--am-through-enhancer only applies to --objective am")
+        tr["am_through_enhancer"] = True
     if args.profile_dir:
         tr["profile_dir"] = args.profile_dir
     cfg = cfg.replace(train=dataclasses.replace(cfg.train, **tr))
@@ -130,7 +142,23 @@ def main(argv=None) -> None:
         print("WARNING: no --am-checkpoint given; using a RANDOM-INIT frozen AM "
               "(fine for smoke tests, useless as supervision)", flush=True)
 
+    g_params = None
+    if args.g_checkpoint:
+        from aas_enhancement_tpu.train.loop import load_state
+        g_state, g_cfg = load_state(args.g_checkpoint)
+        g_params = g_state.g_params
+        if not g_params:
+            p.error(f"{args.g_checkpoint}: checkpoint has no enhancer "
+                    f"(objective was {g_cfg.train.objective!r})")
+        cfg = cfg.replace(enhancer=g_cfg.enhancer)  # frozen G keeps its arch
+    elif args.am_through_enhancer:
+        print("WARNING: --am-through-enhancer without --g-checkpoint; the "
+              "frozen enhancer is RANDOM-INIT (fine for smoke tests, not a "
+              "deployment distribution)", flush=True)
+
     state = init_state(cfg, jax.random.key(cfg.train.seed), am_params=am_params)
+    if g_params is not None:
+        state = state.replace(g_params=g_params)
 
     if args.checkpoint_dir:
         os.makedirs(args.checkpoint_dir, exist_ok=True)

@@ -132,6 +132,13 @@ class TrainConfig:
                                  # am_blockwise_apply) at the same stream_*
                                  # operating point — live-deployment AM
                                  # adaptation (scripts/am_streaming_finetune.py)
+    am_through_enhancer: bool = False  # "am" objective consumes the FROZEN
+                                 # enhancer's (state.g_params) output features
+                                 # instead of the raw input — adapts the AM to
+                                 # the enhanced-feature distribution it sees in
+                                 # the deployed pipeline; composes with both
+                                 # streaming_finetune flags to mirror the live
+                                 # chain exactly
     stream_chunk_s: float = 1.0       # must match the inference operating
     stream_lookahead_s: float = 0.2   # point (streaming.StreamingEnhancer)
     stream_history_s: float = 1.0

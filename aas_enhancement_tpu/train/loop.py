@@ -57,6 +57,10 @@ def init_state(cfg: Config, rng: jax.Array, am_params=None) -> TrainState:
             am_params = AcousticModel(cfg.am).init(r_am, x, lengths)
         kw["am_params"] = am_params
         kw["am_opt"] = am_optimizer(cfg).init(am_params)
+        if cfg.train.am_through_enhancer:
+            # Frozen-G feature source (TrainConfig.am_through_enhancer);
+            # callers graft trained enhancer weights over this init.
+            kw["g_params"] = init_enhancer(cfg, r_g)
 
     return TrainState(step=jnp.zeros((), jnp.int32), rng=rng, **kw)
 

@@ -244,12 +244,23 @@ def discriminator_loss(cfg: Config, d_params, enh_log, enh_fl,
 
 
 def am_pretrain_loss(cfg: Config, am_params, batch,
-                     w_denom=None, rng=None) -> tuple[jnp.ndarray, dict]:
+                     w_denom=None, rng=None,
+                     g_params=None) -> tuple[jnp.ndarray, dict]:
     """AM pre-training on (typically clean) speech (SURVEY.md §3.1).
 
     `rng` non-None enables SpecAugment (cfg.train.spec_augment) — train-step
-    only; the eval forward never passes one."""
-    _, log_mag, fl = device_features(cfg, batch["wav"], batch["wav_lengths"])
+    only; the eval forward never passes one.  `g_params` non-None
+    (TrainConfig.am_through_enhancer) feeds the AM the FROZEN enhancer's
+    output features instead of the raw input — deployment-distribution
+    adaptation; the enhancer forward respects cfg.train.streaming_finetune."""
+    if g_params is not None:
+        frozen_g = jax.lax.stop_gradient(g_params)
+        _, log_mag, fl = enhancer_forward(cfg, frozen_g, batch["wav"],
+                                          batch["wav_lengths"],
+                                          streaming=cfg.train.streaming_finetune)
+    else:
+        _, log_mag, fl = device_features(cfg, batch["wav"],
+                                         batch["wav_lengths"])
     am_in = masked_normalize(log_mag, fl)
     if rng is not None and cfg.train.spec_augment:
         from aas_enhancement_tpu.ops.masking import spec_augment

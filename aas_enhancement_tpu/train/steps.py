@@ -80,9 +80,10 @@ def make_train_step(cfg: Config) -> Callable:
             # rng (no state mutation -> checkpoint resume stays exact).
             rng = (jax.random.fold_in(state.rng, state.step)
                    if cfg.train.spec_augment else None)
+            gp = state.g_params if cfg.train.am_through_enhancer else None
             (_, aux), g = jax.value_and_grad(
                 lambda p: obj.am_pretrain_loss(cfg, p, mb, w_denom=wd,
-                                               rng=rng),
+                                               rng=rng, g_params=gp),
                 has_aux=True)(state.am_params)
             return {"am": g}, aux
 

@@ -1,0 +1,173 @@
+"""Live-deployment AM adaptation (round-4: attack the live-vs-offline gap).
+
+After enhancer streaming fine-tuning, the dominant residual penalty in the
+fully-live pipeline is the ACOUSTIC MODEL consuming streamed-enhanced
+features it was never trained on (harsh condition, round-4 artifacts:
+streamed-G + offline-AM greedy 64.3% vs offline-G + offline-AM 40.8%).  This
+script fine-tunes the AM on exactly the deployed feature distribution: the
+FROZEN enhancer runs its block-streaming forward (TrainConfig.
+streaming_finetune -> enhancer.blockwise_apply) and the AM trains through its
+own block-streaming forward (TrainConfig.streaming_finetune_am ->
+am_blockwise_apply), all inside the one jitted "am" objective step
+(TrainConfig.am_through_enhancer).
+
+Measured before/after: greedy WER of the streamed-enhancer + offline-AM
+chain (the feature-distribution target) on dev/test, written as JSON; the
+fine-tuned AM is saved as a train-CLI checkpoint for
+`live_pipeline_eval --am-checkpoint` (the fully-live measurement).
+
+Usage:
+  python scripts/am_streaming_finetune.py --workdir /tmp/aas_e2e_full_hard \
+      --g-checkpoint /tmp/aas_e2e_full_hard/ck_stream_ft_la05 \
+      --steps 300 --out am_ft.json
+"""
+
+from __future__ import annotations
+
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import argparse
+import dataclasses
+import json
+import os
+import pickle
+import time
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--workdir", required=True)
+    p.add_argument("--steps", type=int, default=300)
+    p.add_argument("--chunk", type=float, default=1.0)
+    p.add_argument("--lookahead", type=float, default=0.5)
+    p.add_argument("--history", type=float, default=0.5)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--lr-scale", type=float, default=0.1,
+                   help="fine-tune the AM at lr_am * this")
+    p.add_argument("--g-checkpoint", default="",
+                   help="frozen enhancer weights from this train-CLI "
+                        "checkpoint (e.g. the matched-windowing ck_stream_ft "
+                        "from streaming_finetune_eval); default: the workdir "
+                        "pickle's offline-trained G")
+    p.add_argument("--save-checkpoint", default="",
+                   help="write the adapted AM as a train-CLI checkpoint dir; "
+                        "default <workdir>/ck_am_stream_ft, '-' to skip")
+    p.add_argument("--out", default="")
+    args = p.parse_args()
+
+    from aas_enhancement_tpu.utils import jax_cache
+    jax_cache.enable()
+
+    import jax
+    import numpy as np
+    from aas_enhancement_tpu.config import Config
+    from aas_enhancement_tpu.data.wav import read_wav, write_wav
+    from aas_enhancement_tpu.evaluation import evaluate_wer, make_eval_forward
+    from aas_enhancement_tpu.streaming import StreamingEnhancer
+    from aas_enhancement_tpu.train.loop import init_state, train
+
+    wd = args.workdir
+    with open(os.path.join(wd, "sweep_state.json")) as f:
+        meta = json.load(f)
+    with open(meta["params_pkl"], "rb") as f:
+        saved = pickle.load(f)
+    cfg = Config.from_json(saved["cfg_json"])
+    am_params = saved["am_params"]
+    g_params = saved["g_params"]
+    if args.g_checkpoint:
+        from aas_enhancement_tpu.train.loop import load_state
+        g_state, _ = load_state(args.g_checkpoint)
+        g_params = jax.device_get(g_state.g_params)
+
+    fwd_plain = make_eval_forward(cfg, use_enhancer=False)
+
+    def streamed_manifest(tag, manifest):
+        """Stream the frozen G at the operating point -> enhanced-wav manifest
+        (the offline mirror of the live AM's input distribution)."""
+        sdir = os.path.join(wd, f"am_ft_stream_{tag}")
+        os.makedirs(sdir, exist_ok=True)
+        lines = []
+        for line in open(manifest).read().splitlines():
+            wav_path, txt_path = line.split(",")
+            wav, sr = read_wav(wav_path)
+            eng = StreamingEnhancer(cfg, g_params, chunk_seconds=args.chunk,
+                                    lookahead_seconds=args.lookahead,
+                                    history_seconds=args.history)
+            out = np.concatenate([eng.feed(wav), eng.flush()])
+            spath = os.path.join(sdir, os.path.basename(wav_path))
+            write_wav(spath, out[: len(wav)], sr)
+            lines.append(f"{spath},{txt_path}")
+        smani = os.path.join(sdir, "manifest.csv")
+        with open(smani, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        return smani
+
+    t0 = time.time()
+    result = {"steps": args.steps, "chunk_s": args.chunk,
+              "lookahead_s": args.lookahead, "history_s": args.history,
+              "g_checkpoint": args.g_checkpoint, "lr_scale": args.lr_scale}
+
+    # The adaptation target: greedy WER on streamed-enhanced features.
+    dev_s = streamed_manifest("dev", meta["dev_noisy"])
+    test_s = streamed_manifest("test", meta["test_noisy"])
+
+    def wer_on(mani, am_p):
+        return evaluate_wer(cfg, am_p, mani, batch_size=args.batch_size,
+                            forward=fwd_plain)["wer"]
+
+    result["wer_streamed_feats_dev_before"] = wer_on(dev_s, am_params)
+    result["wer_streamed_feats_test_before"] = wer_on(test_s, am_params)
+    # Anchor: the same AM on offline-enhanced features must not be the story.
+    fwd_enh = make_eval_forward(cfg, use_enhancer=True)
+    result["wer_offline_test_before"] = evaluate_wer(
+        cfg, am_params, meta["test_noisy"], g_params=g_params,
+        batch_size=args.batch_size, forward=fwd_enh)["wer"]
+
+    # Fine-tune: frozen streaming G -> block-streaming AM, one jitted step.
+    ft_cfg = cfg.replace(train=dataclasses.replace(
+        cfg.train, objective="am", am_through_enhancer=True,
+        streaming_finetune=True, streaming_finetune_am=True,
+        stream_chunk_s=args.chunk, stream_lookahead_s=args.lookahead,
+        stream_history_s=args.history, lr_am=cfg.train.lr_am * args.lr_scale,
+        batch_size=args.batch_size, epochs=100000, spec_augment=False))
+    ft_cfg = ft_cfg.replace(data=dataclasses.replace(ft_cfg.data,
+                                                     val_manifest=""))
+    state = init_state(ft_cfg, jax.random.key(17), am_params=am_params)
+    state = state.replace(g_params=g_params)
+    state2, recs = train(ft_cfg, meta["train_noisy"], max_steps=args.steps,
+                         state=state)
+    ctc = [r["loss_ctc_am"] for r in recs if "loss_ctc_am" in r]
+    result["ft_loss_first"], result["ft_loss_last"] = ctc[0], ctc[-1]
+
+    am_ft = jax.device_get(state2.am_params)
+    result["wer_streamed_feats_dev_after"] = wer_on(dev_s, am_ft)
+    result["wer_streamed_feats_test_after"] = wer_on(test_s, am_ft)
+    result["wer_offline_test_after"] = evaluate_wer(
+        cfg, am_ft, meta["test_noisy"], g_params=g_params,
+        batch_size=args.batch_size, forward=fwd_enh)["wer"]
+    result["streamed_feats_improvement"] = (
+        result["wer_streamed_feats_test_before"]
+        - result["wer_streamed_feats_test_after"])
+
+    if args.save_checkpoint != "-":
+        from aas_enhancement_tpu.utils import checkpoint as ckpt
+        ck_dir = args.save_checkpoint or os.path.join(wd, "ck_am_stream_ft")
+        os.makedirs(ck_dir, exist_ok=True)
+        with open(os.path.join(ck_dir, "config.json"), "w") as f:
+            f.write(ft_cfg.to_json())
+        mgr = ckpt.make_manager(ck_dir)
+        ckpt.save(mgr, int(state2.step), jax.device_get(state2))
+        mgr.close()
+        result["checkpoint_dir"] = ck_dir
+
+    result["wall_minutes"] = round((time.time() - t0) / 60.0, 1)
+    out = args.out or os.path.join(wd, "am_streaming_finetune.json")
+    with open(out, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -44,6 +44,10 @@ def main():
                         "(e.g. the streaming-finetuned ck_stream_ft from "
                         "scripts/streaming_finetune_eval.py — measures the "
                         "serve `--weights streaming` live stack)")
+    p.add_argument("--am-checkpoint", default="",
+                   help="serve AM weights from this train-CLI checkpoint dir "
+                        "(e.g. the live-adapted ck_am_stream_ft from "
+                        "scripts/am_streaming_finetune.py)")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--out", default="")
     args = p.parse_args()
@@ -73,6 +77,10 @@ def main():
         from aas_enhancement_tpu.train.loop import load_state
         ft_state, _ = load_state(args.g_checkpoint)
         g = jax.device_get(ft_state.g_params)
+    if args.am_checkpoint:
+        from aas_enhancement_tpu.train.loop import load_state
+        am_state, _ = load_state(args.am_checkpoint)
+        am = jax.device_get(am_state.am_params)
 
     sr = cfg.audio.sample_rate
     step = int(args.feed_seconds * sr)
@@ -97,6 +105,7 @@ def main():
 
     t0 = time.time()
     result = {"workdir": args.workdir, "g_checkpoint": args.g_checkpoint,
+              "am_checkpoint": args.am_checkpoint,
               "chunk_s": args.chunk,
               "lookahead_s": args.lookahead, "history_s": args.history,
               "latency_s": args.chunk + args.lookahead}

@@ -189,3 +189,36 @@ def test_am_streaming_finetune_loss_decreases(tmp_path):
     assert len(vals) >= 10
     assert np.mean(vals[-3:]) < np.mean(vals[:3]), (
         f"AM streaming-finetune loss did not decrease: {vals[:3]} -> {vals[-3:]}")
+
+
+@pytest.mark.slow
+def test_am_adaptation_through_frozen_streaming_enhancer(tmp_path):
+    """The full live-chain AM adaptation objective (frozen block-streaming G
+    -> block-streaming AM, TrainConfig.am_through_enhancer) learns, and the
+    frozen G is bit-identical before/after."""
+    from aas_enhancement_tpu.config import AMConfig, DataConfig, TrainConfig
+    from aas_enhancement_tpu.data.synthetic import generate_corpus
+    from aas_enhancement_tpu.train.loop import init_state, train
+
+    corpus = generate_corpus(str(tmp_path), n_utts=8, seed=13, vocab_chars=6)
+    cfg = Config(
+        am=AMConfig(rnn_hidden=32, rnn_layers=1, conv_channels=8),
+        enhancer=EnhancerConfig(conv_channels=8, conv_layers=1,
+                                rnn_hidden=16, rnn_layers=1),
+        train=TrainConfig(objective="am", batch_size=4, epochs=100,
+                          log_every=1, lr_am=2e-3, am_through_enhancer=True,
+                          streaming_finetune=True, streaming_finetune_am=True,
+                          stream_chunk_s=0.5, stream_lookahead_s=0.1,
+                          stream_history_s=0.5),
+        data=DataConfig(num_buckets=1),
+    )
+    state0 = init_state(cfg, jax.random.key(3))
+    g_before = jax.tree.map(np.array, state0.g_params)
+    state, recs = train(cfg, corpus["noisy"], max_steps=14, state=state0)
+    vals = [r["loss_ctc_am"] for r in recs if "loss_ctc_am" in r]
+    assert len(vals) >= 10
+    assert np.mean(vals[-3:]) < np.mean(vals[:3]), (
+        f"AM adaptation loss did not decrease: {vals[:3]} -> {vals[-3:]}")
+    for a, b in zip(jax.tree.leaves(g_before),
+                    jax.tree.leaves(jax.device_get(state.g_params))):
+        np.testing.assert_array_equal(a, b)
