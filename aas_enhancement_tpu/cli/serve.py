@@ -24,10 +24,17 @@ Defaults encode the round-3 MEASURED deployment recipe (VERDICT r3 #6):
   18.5%->22.7%, live_pipeline_r4_hard_ft.json), so `auto` checks the
   checkpoint's recorded stream_{chunk,lookahead,history}_s and falls back
   to offline weights on mismatch (ft_point_matches/guard_streaming_pick).
+- Acoustic model: transcribe mode can serve a live-ADAPTED AM
+  (`--am-checkpoint`, produced by scripts/am_streaming_finetune.py or
+  `train --objective am --am-through-enhancer`).  The adapted AM is used
+  only when its recorded operating point matches the serving point — the
+  matched adaptation is a measured win on BOTH live legs (harsh: greedy
+  65.1%->59.2%, hybrid 16.8%->15.5%, live_pipeline_r4_hard_amft.json).
 
 Usage:
   python -m aas_enhancement_tpu.cli.serve --checkpoint ck_aas \
       [--streaming-checkpoint ck_aas_stream_ft] [--transcribe] \
+      [--am-checkpoint ck_am_stream_ft] \
       [--weights auto|offline|streaming] \
       [--host 127.0.0.1] [--port 7207] [--max-streams 64] \
       [--chunk 1.0] [--lookahead MODE-DEPENDENT] [--history 0.5]
@@ -67,7 +74,8 @@ def pick_weights(weights: str, transcribe: bool,
 
 
 def ft_point_matches(ft_cfg, chunk: float, lookahead: float,
-                     history: float, tol: float = 1e-6) -> bool:
+                     history: float, tol: float = 1e-6,
+                     flag: str = "streaming_finetune") -> bool:
     """True iff the fine-tuned checkpoint was trained AT this serving point.
 
     A streaming fine-tune specializes the enhancer to one windowing; serving
@@ -76,9 +84,13 @@ def ft_point_matches(ft_cfg, chunk: float, lookahead: float,
     point costs 18.5%->22.7% live hybrid WER under harsh SNR).  A checkpoint
     whose config does not record a streaming fine-tune at all (e.g. a plain
     train-CLI checkpoint) never matches — unknown provenance is off-point.
+
+    `flag` selects which fine-tune the checkpoint must record:
+    "streaming_finetune" (enhancer) or "streaming_finetune_am" (the
+    live-adapted acoustic model, scripts/am_streaming_finetune.py).
     """
     t = ft_cfg.train
-    return (t.streaming_finetune
+    return (bool(getattr(t, flag))
             and abs(t.stream_chunk_s - chunk) <= tol
             and abs(t.stream_lookahead_s - lookahead) <= tol
             and abs(t.stream_history_s - history) <= tol)
@@ -118,6 +130,14 @@ def main(argv=None) -> None:
                    default="auto",
                    help="which enhancer weights to serve (auto = the "
                         "measured-best per mode; see module docstring)")
+    p.add_argument("--am-checkpoint", default="",
+                   help="live-adapted acoustic-model checkpoint dir "
+                        "(scripts/am_streaming_finetune.py or train "
+                        "--am-through-enhancer); transcribe mode serves its "
+                        "AM when it was adapted AT the serving point "
+                        "(measured win: live_pipeline_r4_hard_amft.json "
+                        "16.8%->15.5% live hybrid), else falls back to the "
+                        "base checkpoint's AM with a warning")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=7207)
     p.add_argument("--max-streams", type=int, default=64)
@@ -163,20 +183,44 @@ def main(argv=None) -> None:
     if not g_params and not (args.transcribe and state.am_params):
         raise SystemExit(f"{args.checkpoint}: checkpoint has no enhancer "
                          f"(objective was {cfg.train.objective!r})")
-    if args.transcribe and not state.am_params:
+    if args.transcribe and not state.am_params and not args.am_checkpoint:
         raise SystemExit(f"{args.checkpoint}: --transcribe needs acoustic-"
                          f"model params (train objective 'am' or 'aas')")
+
+    am_params, am_weights = state.am_params, "base"
+    if args.transcribe and args.am_checkpoint:
+        am_state, am_cfg = load_state(args.am_checkpoint)
+        if not am_state.am_params:
+            raise SystemExit(f"{args.am_checkpoint}: checkpoint has no "
+                             f"acoustic-model params")
+        if ft_point_matches(am_cfg, chunk, lookahead, history,
+                            flag="streaming_finetune_am"):
+            am_params, am_weights = am_state.am_params, "adapted"
+        elif not state.am_params:
+            raise SystemExit(
+                f"{args.am_checkpoint}: AM adaptation point differs from the "
+                f"serving point and {args.checkpoint} carries no base AM to "
+                f"fall back to")
+        else:
+            t = am_cfg.train
+            print(f"serve: AM checkpoint adapted at chunk/lookahead/history "
+                  f"{(t.stream_chunk_s, t.stream_lookahead_s, t.stream_history_s)} "
+                  f"but serving at {(chunk, lookahead, history)} — falling "
+                  f"back to the base AM (off-point fine-tunes hurt, "
+                  f"live_pipeline_r4_hard_ft.json)", flush=True)
 
     server = EnhanceServer(cfg, g_params, host=args.host,
                            port=args.port, max_streams=args.max_streams,
                            chunk_seconds=chunk,
                            lookahead_seconds=lookahead,
                            history_seconds=history,
-                           am_params=(state.am_params if args.transcribe
+                           am_params=(am_params if args.transcribe
                                       else None)).start()
     print(json.dumps({"serving": f"{server.address[0]}:{server.address[1]}",
                       "mode": "transcribe" if args.transcribe else "enhance",
                       "weights": which,
+                      **({"am_weights": am_weights} if args.transcribe
+                         else {}),
                       "chunk_s": chunk, "lookahead_s": lookahead,
                       "history_s": history,
                       "max_streams": args.max_streams,

@@ -160,3 +160,36 @@ def test_ft_operating_point_guard():
     which, warn = cli_serve.guard_streaming_pick("streaming", off_point,
                                                  1.0, 0.5, 0.5)
     assert which == "streaming" and warn.startswith("WARNING")
+
+
+def test_am_adaptation_point_guard():
+    """`--am-checkpoint` must only be served when the AM adaptation's
+    recorded operating point matches the serving point (the enhancer guard's
+    rationale applied to the live-adapted AM; matched-point win:
+    live_pipeline_r4_hard_amft.json 16.8%->15.5% live hybrid)."""
+    import dataclasses
+
+    from aas_enhancement_tpu.cli import serve as cli_serve
+    from aas_enhancement_tpu.config import Config
+
+    def am_cfg(chunk, lookahead, history, adapted=True):
+        cfg = Config()
+        return cfg.replace(train=dataclasses.replace(
+            cfg.train, streaming_finetune_am=adapted,
+            am_through_enhancer=adapted, stream_chunk_s=chunk,
+            stream_lookahead_s=lookahead, stream_history_s=history))
+
+    matched = am_cfg(1.0, 0.5, 0.5)
+    off_point = am_cfg(1.0, 0.2, 0.5)
+    plain = am_cfg(1.0, 0.5, 0.5, adapted=False)
+
+    flag = "streaming_finetune_am"
+    assert cli_serve.ft_point_matches(matched, 1.0, 0.5, 0.5, flag=flag)
+    assert not cli_serve.ft_point_matches(off_point, 1.0, 0.5, 0.5, flag=flag)
+    # A plain AM checkpoint (no blockwise adaptation recorded) never matches.
+    assert not cli_serve.ft_point_matches(plain, 1.0, 0.5, 0.5, flag=flag)
+    # The enhancer flag must not leak into the AM decision: a checkpoint
+    # with only streaming_finetune (G) set is NOT an adapted AM.
+    g_only = plain.replace(train=dataclasses.replace(
+        plain.train, streaming_finetune=True))
+    assert not cli_serve.ft_point_matches(g_only, 1.0, 0.5, 0.5, flag=flag)
