@@ -28,8 +28,12 @@ Defaults encode the round-3 MEASURED deployment recipe (VERDICT r3 #6):
   (`--am-checkpoint`, produced by scripts/am_streaming_finetune.py or
   `train --objective am --am-through-enhancer`).  The adapted AM is used
   only when its recorded operating point matches the serving point — the
-  matched adaptation is a measured win on BOTH live legs (harsh: greedy
-  65.1%->59.2%, hybrid 16.8%->15.5%, live_pipeline_r4_hard_amft.json).
+  matched adaptation is a measured win on BOTH live legs under harsh SNR
+  (greedy 65.1%->59.2%, hybrid 16.8%->15.5%,
+  live_pipeline_r4_hard_amft.json) but, like the enhancer fine-tune, it is
+  a HARSH-CONDITION tool: at 0-10 dB it is greedy-neutral and costs the
+  hybrid rescore +2.1 points (live_pipeline_r4_amft.json) — supply
+  --am-checkpoint only for harsh / greedy-focused deployments.
 
 Usage:
   python -m aas_enhancement_tpu.cli.serve --checkpoint ck_aas \
