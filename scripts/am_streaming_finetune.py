@@ -51,6 +51,14 @@ def main():
                         "checkpoint (e.g. the matched-windowing ck_stream_ft "
                         "from streaming_finetune_eval); default: the workdir "
                         "pickle's offline-trained G")
+    p.add_argument("--offline", action="store_true",
+                   help="OFFLINE co-adaptation: both networks run their "
+                        "full-sequence forwards (no block streaming anywhere) "
+                        "— adapts the AM to the enhanced-feature distribution "
+                        "of the OFFLINE pipeline (the reference always froze "
+                        "the AM; this measures what unfreezing it post-hoc "
+                        "buys).  Measures offline enhanced greedy WER "
+                        "before/after instead of the streamed-feature legs")
     p.add_argument("--save-checkpoint", default="",
                    help="write the adapted AM as a train-CLI checkpoint dir; "
                         "default <workdir>/ck_am_stream_ft, '-' to skip")
@@ -105,30 +113,42 @@ def main():
         return smani
 
     t0 = time.time()
-    result = {"steps": args.steps, "chunk_s": args.chunk,
+    result = {"steps": args.steps, "offline": args.offline,
+              "chunk_s": args.chunk,
               "lookahead_s": args.lookahead, "history_s": args.history,
               "g_checkpoint": args.g_checkpoint, "lr_scale": args.lr_scale}
 
-    # The adaptation target: greedy WER on streamed-enhanced features.
-    dev_s = streamed_manifest("dev", meta["dev_noisy"])
-    test_s = streamed_manifest("test", meta["test_noisy"])
+    fwd_enh = make_eval_forward(cfg, use_enhancer=True)
 
     def wer_on(mani, am_p):
         return evaluate_wer(cfg, am_p, mani, batch_size=args.batch_size,
                             forward=fwd_plain)["wer"]
 
-    result["wer_streamed_feats_dev_before"] = wer_on(dev_s, am_params)
-    result["wer_streamed_feats_test_before"] = wer_on(test_s, am_params)
-    # Anchor: the same AM on offline-enhanced features must not be the story.
-    fwd_enh = make_eval_forward(cfg, use_enhancer=True)
-    result["wer_offline_test_before"] = evaluate_wer(
-        cfg, am_params, meta["test_noisy"], g_params=g_params,
-        batch_size=args.batch_size, forward=fwd_enh)["wer"]
+    def wer_offline(mani, am_p):
+        return evaluate_wer(cfg, am_p, mani, g_params=g_params,
+                            batch_size=args.batch_size, forward=fwd_enh)["wer"]
 
-    # Fine-tune: frozen streaming G -> block-streaming AM, one jitted step.
+    if args.offline:
+        result["wer_offline_dev_before"] = wer_offline(meta["dev_noisy"],
+                                                       am_params)
+        result["wer_offline_test_before"] = wer_offline(meta["test_noisy"],
+                                                        am_params)
+    else:
+        # The adaptation target: greedy WER on streamed-enhanced features.
+        dev_s = streamed_manifest("dev", meta["dev_noisy"])
+        test_s = streamed_manifest("test", meta["test_noisy"])
+        result["wer_streamed_feats_dev_before"] = wer_on(dev_s, am_params)
+        result["wer_streamed_feats_test_before"] = wer_on(test_s, am_params)
+        # Anchor: the same AM on offline-enhanced features isn't the story.
+        result["wer_offline_test_before"] = wer_offline(meta["test_noisy"],
+                                                        am_params)
+
+    # Fine-tune: frozen G -> AM, one jitted step (blockwise forwards unless
+    # --offline).
     ft_cfg = cfg.replace(train=dataclasses.replace(
         cfg.train, objective="am", am_through_enhancer=True,
-        streaming_finetune=True, streaming_finetune_am=True,
+        streaming_finetune=not args.offline,
+        streaming_finetune_am=not args.offline,
         stream_chunk_s=args.chunk, stream_lookahead_s=args.lookahead,
         stream_history_s=args.history, lr_am=cfg.train.lr_am * args.lr_scale,
         batch_size=args.batch_size, epochs=100000, spec_augment=False))
@@ -142,18 +162,25 @@ def main():
     result["ft_loss_first"], result["ft_loss_last"] = ctc[0], ctc[-1]
 
     am_ft = jax.device_get(state2.am_params)
-    result["wer_streamed_feats_dev_after"] = wer_on(dev_s, am_ft)
-    result["wer_streamed_feats_test_after"] = wer_on(test_s, am_ft)
-    result["wer_offline_test_after"] = evaluate_wer(
-        cfg, am_ft, meta["test_noisy"], g_params=g_params,
-        batch_size=args.batch_size, forward=fwd_enh)["wer"]
-    result["streamed_feats_improvement"] = (
-        result["wer_streamed_feats_test_before"]
-        - result["wer_streamed_feats_test_after"])
+    if args.offline:
+        result["wer_offline_dev_after"] = wer_offline(meta["dev_noisy"], am_ft)
+        result["wer_offline_test_after"] = wer_offline(meta["test_noisy"],
+                                                       am_ft)
+        result["offline_improvement"] = (result["wer_offline_test_before"]
+                                         - result["wer_offline_test_after"])
+    else:
+        result["wer_streamed_feats_dev_after"] = wer_on(dev_s, am_ft)
+        result["wer_streamed_feats_test_after"] = wer_on(test_s, am_ft)
+        result["wer_offline_test_after"] = wer_offline(meta["test_noisy"],
+                                                       am_ft)
+        result["streamed_feats_improvement"] = (
+            result["wer_streamed_feats_test_before"]
+            - result["wer_streamed_feats_test_after"])
 
     if args.save_checkpoint != "-":
         from aas_enhancement_tpu.utils import checkpoint as ckpt
-        ck_dir = args.save_checkpoint or os.path.join(wd, "ck_am_stream_ft")
+        ck_dir = args.save_checkpoint or os.path.join(
+            wd, "ck_am_offline_ft" if args.offline else "ck_am_stream_ft")
         os.makedirs(ck_dir, exist_ok=True)
         with open(os.path.join(ck_dir, "config.json"), "w") as f:
             f.write(ft_cfg.to_json())

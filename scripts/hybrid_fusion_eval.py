@@ -32,6 +32,11 @@ def main():
     p.add_argument("--beam-width", type=int, default=16)
     p.add_argument("--prune-k", type=int, default=8)
     p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--am-checkpoint", default="",
+                   help="evaluate with the AM from this train-CLI checkpoint "
+                        "dir instead of the workdir pickle's (e.g. the "
+                        "co-adapted ck_am_offline_ft from "
+                        "scripts/am_streaming_finetune.py --offline)")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (axon.register overrides the "
                         "JAX_PLATFORMS env var, so this sets the config)")
@@ -58,6 +63,10 @@ def main():
         trained = pickle.load(f)
     cfg = Config.from_json(trained["cfg_json"])
     am, g = trained["am_params"], trained["g_params"]
+    if args.am_checkpoint:
+        from aas_enhancement_tpu.train.loop import load_state
+        am_state, _ = load_state(args.am_checkpoint)
+        am = jax.device_get(am_state.am_params)
 
     clm = CharNGramLM.from_manifests([state["train_noisy"]], order=args.order)
     wlm = WordNGramLM.from_manifests([state["train_noisy"]])
@@ -76,6 +85,7 @@ def main():
 
     result = {
         "workdir": args.workdir, "char_order": args.order,
+        "am_checkpoint": args.am_checkpoint,
         "tuning": {k: tuned[k] for k in ("alpha", "beta", "word_alpha",
                                          "word_beta", "wer", "wer_char_only",
                                          "wer_no_lm")},
