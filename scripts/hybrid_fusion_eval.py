@@ -37,6 +37,11 @@ def main():
                         "dir instead of the workdir pickle's (e.g. the "
                         "co-adapted ck_am_offline_ft from "
                         "scripts/am_streaming_finetune.py --offline)")
+    p.add_argument("--g-checkpoint", default="",
+                   help="evaluate with the enhancer from this train-CLI "
+                        "checkpoint dir instead of the workdir pickle's "
+                        "(e.g. the alternated ck_g_coadapt from "
+                        "scripts/coadapt_alternate.py)")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (axon.register overrides the "
                         "JAX_PLATFORMS env var, so this sets the config)")
@@ -67,6 +72,10 @@ def main():
         from aas_enhancement_tpu.train.loop import load_state
         am_state, _ = load_state(args.am_checkpoint)
         am = jax.device_get(am_state.am_params)
+    if args.g_checkpoint:
+        from aas_enhancement_tpu.train.loop import load_state
+        g_state, _ = load_state(args.g_checkpoint)
+        g = jax.device_get(g_state.g_params)
 
     clm = CharNGramLM.from_manifests([state["train_noisy"]], order=args.order)
     wlm = WordNGramLM.from_manifests([state["train_noisy"]])
@@ -86,6 +95,7 @@ def main():
     result = {
         "workdir": args.workdir, "char_order": args.order,
         "am_checkpoint": args.am_checkpoint,
+        "g_checkpoint": args.g_checkpoint,
         "tuning": {k: tuned[k] for k in ("alpha", "beta", "word_alpha",
                                          "word_beta", "wer", "wer_char_only",
                                          "wer_no_lm")},
