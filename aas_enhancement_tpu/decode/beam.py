@@ -31,6 +31,12 @@ _log = logging.getLogger(__name__)
 _lib = None
 _lib_tried = False
 
+# Must equal kAbiVersion in native/ctc_beam/ctc_beam.cc.  _load_lib refuses
+# any library reporting a different version (or none at all): binding the
+# current argtypes to an .so built from older source would pass the new
+# argument layout to old code — silently corrupt decodes or a crash.
+_ABI_VERSION = 5
+
 
 def build(timeout: float = 120.0) -> bool:
     """Explicitly (re)build the native decoder; returns availability.
@@ -53,9 +59,11 @@ def _load_lib():
         return _lib
     _lib_tried = True
     if not os.path.exists(_LIB_PATH):
-        _log.info("native beam decoder not built (%s missing) — using the "
-                  "pure-python decoder; run `make -C native` to enable it",
-                  _LIB_PATH)
+        # WARNING, not INFO: evals on the python fallback run the measured
+        # 7-13x slower decoder and must not do so silently (ADVICE r4).
+        _log.warning("native beam decoder not built (%s missing) — using the "
+                     "pure-python decoder; run `make -C native` to enable it",
+                     _LIB_PATH)
         return None
     src = os.path.join(_NATIVE_DIR, "ctc_beam", "ctc_beam.cc")
     if os.path.exists(src) and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH):
@@ -64,6 +72,20 @@ def _load_lib():
                      _LIB_PATH)
     try:
         lib = ctypes.CDLL(_LIB_PATH)
+        try:
+            lib.ctc_beam_abi_version.restype = ctypes.c_int
+            abi = int(lib.ctc_beam_abi_version())
+        except AttributeError:
+            abi = -1  # pre-versioning build (round <= 4 source)
+        if abi != _ABI_VERSION:
+            _log.warning(
+                "native beam decoder %s reports ABI version %d, this code "
+                "needs %d — REFUSING the stale library (its exported symbols "
+                "may have a different argument layout); falling back to the "
+                "pure-python decoder. Run `make -C native` to rebuild.",
+                _LIB_PATH, abi, _ABI_VERSION)
+            _lib = None
+            return None
         lib.ctc_beam_search.restype = ctypes.c_int
         lib.ctc_beam_search.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
@@ -353,7 +375,9 @@ def word_bonus(prefix, alpha: float, beta: float, ex: dict) -> float:
     """Fusion score for COMPLETING the trailing word of `prefix`
     (alpha * logp(word | up to order-1 previous words) + beta); 0 when the
     trailing segment is empty.  Scores through the sparse export's ARPA
-    backoff (decode/ngram.py) — the exact arithmetic the C++ decoder replays.
+    backoff (decode/ngram.py) — the same float64 per-word arithmetic the C++
+    decoder runs (ids exact; total beam scores differ by float32 rounding,
+    since the C++ beam accumulates in float).
     When the walk reaches the prefix start with context room left, the oldest
     slot becomes <s> (if the model has one)."""
     from aas_enhancement_tpu.decode import ngram

@@ -11,7 +11,12 @@ backoff) payloads, looked up by binary search.  Memory is O(#n-grams) — a
 100 MB (50k words: ~10 GB dense, unchanged ~16 MB sparse).
 
 SHARED CONTRACT with native/ctc_beam/ctc_beam.cc (the C++ decoder) and
-decode/beam.py's python fallback — all three must agree bit-for-bit:
+decode/beam.py's python fallback — all three implement identical hashing,
+lookup, and ARPA-backoff arithmetic.  Parity level: decoded ids are EXACT;
+beam scores agree to float32 rounding (the per-word LM score itself is
+computed in float64 on both sides, but the C++ beam accumulates total beam
+scores in float32 while the python fallback accumulates in float64 —
+tests/test_ngram.py and test_beam.py assert ids exact, scores to ~1e-5):
 
 Key hashing (splitmix64 chain; both sides implement it identically):
     h = 0
@@ -58,6 +63,12 @@ OOV context words likewise.  The sentence-initial context slot is bos_id.
 from __future__ import annotations
 
 import numpy as np
+
+# kMaxOrder in native/ctc_beam/ctc_beam.cc: the C++ decoder's bound on
+# stack-allocated context buffers.  build_export enforces it so an
+# out-of-range ARPA order fails loudly at build time instead of silently
+# demoting every decode to the python fallback (ADVICE r4).
+NATIVE_MAX_ORDER = 8
 
 _M64 = (1 << 64) - 1
 _C1 = 0x9E3779B97F4A7C15
@@ -114,6 +125,14 @@ def build_export(order: int, vocab: list[str], uni_logp, uni_backoff,
     """
     if order < 1:
         raise ValueError("order must be >= 1")
+    if order > NATIVE_MAX_ORDER:
+        # kMaxOrder in native/ctc_beam/ctc_beam.cc bounds the C++ decoder's
+        # stack context buffers; beyond it InitWordLm rejects the model and
+        # decode would silently drop to the 7-13x slower python path.  ARPA
+        # models of order > 8 do not exist in practice — fail loudly instead.
+        raise ValueError(
+            f"order {order} exceeds the native decoder's maximum "
+            f"({NATIVE_MAX_ORDER}, kMaxOrder in native/ctc_beam/ctc_beam.cc)")
     if len(ngrams) != max(order - 1, 0):
         raise ValueError(f"expected {order - 1} n-gram levels, got "
                          f"{len(ngrams)}")

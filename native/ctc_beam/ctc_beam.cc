@@ -92,8 +92,9 @@ inline int64_t ContextIndex(const std::string& prefix, int order, int v) {
 // once per COMPLETED word (space appended / final ranking) with standard ARPA
 // backoff over up to (order-1) words of left context.  All hashing, lookup,
 // and accumulation semantics are the SHARED CONTRACT documented in
-// decode/ngram.py — python fallback and this decoder must match bit-for-bit
-// (doubles here == float64 there).
+// decode/ngram.py — python fallback and this decoder compute each LM score
+// identically in double (== float64 there); decoded ids are exact, total
+// beam scores agree to float32 rounding (this beam accumulates in float).
 
 constexpr int kMaxOrder = 8;  // bound on stack context buffers; ARPA > 8-gram
                               // does not exist in practice
@@ -350,6 +351,13 @@ int BeamSearchImpl(const float* log_probs, int t, int v, int beam_width,
 }
 
 }  // namespace
+
+// ABI version of the exported entry points.  Bump whenever any extern "C"
+// signature below changes; decode/beam.py refuses to bind a library whose
+// version differs (a stale .so resolving the new symbol names with an old
+// argument layout would silently corrupt decodes).
+constexpr int kAbiVersion = 5;
+extern "C" int ctc_beam_abi_version() { return kAbiVersion; }
 
 extern "C" int ctc_beam_search(const float* log_probs, int t, int v,
                                int beam_width, int blank, int prune_k,

@@ -168,3 +168,41 @@ def test_decode_path_never_builds_implicitly(monkeypatch):
     lp = _rand_log_probs(6, 5)
     out = beam_decode(lp[None], beam_width=4)
     assert len(out) == 1
+
+
+def test_stale_abi_library_refused(tmp_path, monkeypatch):
+    """A library reporting the wrong ABI version (or none) must be refused:
+    binding the current argtypes to old code would silently corrupt decodes
+    (ADVICE r4 medium).  Decode falls back to the python implementation."""
+    import shutil
+    import subprocess
+
+    import aas_enhancement_tpu.decode.beam as beam_mod
+
+    gxx = shutil.which("g++")
+    if gxx is None:
+        pytest.skip("g++ not available")
+    src = tmp_path / "stale.cc"
+    src.write_text('extern "C" int ctc_beam_abi_version() { return 1; }\n')
+    so = tmp_path / "libctcbeam.so"
+    subprocess.run([gxx, "-shared", "-fPIC", "-o", str(so), str(src)],
+                   check=True)
+    monkeypatch.setattr(beam_mod, "_LIB_PATH", str(so))
+    monkeypatch.setattr(beam_mod, "_lib", None)
+    monkeypatch.setattr(beam_mod, "_lib_tried", False)
+    assert beam_mod._load_lib() is None
+    # Pre-versioning build: the symbol is absent entirely -> also refused.
+    src.write_text('extern "C" int ctc_beam_search() { return -1; }\n')
+    subprocess.run([gxx, "-shared", "-fPIC", "-o", str(so), str(src)],
+                   check=True)
+    monkeypatch.setattr(beam_mod, "_lib", None)
+    monkeypatch.setattr(beam_mod, "_lib_tried", False)
+    assert beam_mod._load_lib() is None
+    # The decode path still works on the python fallback.
+    lp = _rand_log_probs(6, 5)
+    out = beam_decode(lp[None], beam_width=4)
+    assert len(out) == 1
+    # And the real library (module defaults) passes the check.
+    monkeypatch.undo()
+    beam_mod._lib, beam_mod._lib_tried = None, False
+    assert beam_mod.available()

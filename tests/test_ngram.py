@@ -144,3 +144,14 @@ def _base26(i: int) -> str:
         s += chr(ord("A") + (i % 26))
         i //= 26
     return s
+
+
+def test_export_order_above_native_cap_fails_loudly():
+    """ARPA order > kMaxOrder (C++ stack-buffer bound) must raise at export
+    build time, not silently demote decodes to the python path (ADVICE r4)."""
+    vocab = ["<s>", "<unk>", "CAT"]
+    bad_order = ngram.NATIVE_MAX_ORDER + 1
+    with pytest.raises(ValueError, match="native decoder's maximum"):
+        ngram.build_export(bad_order, vocab, [-1.0] * 3, [0.0] * 3,
+                           [{}] * (bad_order - 1), labels=LABELS,
+                           space_id=LABELS.index(" "))
