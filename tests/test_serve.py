@@ -193,3 +193,22 @@ def test_am_adaptation_point_guard():
     g_only = plain.replace(train=dataclasses.replace(
         plain.train, streaming_finetune=True))
     assert not cli_serve.ft_point_matches(g_only, 1.0, 0.5, 0.5, flag=flag)
+
+
+def test_deployment_advisories():
+    """Condition-dependent interactions print whenever a served combination
+    carries one (VERDICT r4 weak #6) — the README decision matrix in code."""
+    from aas_enhancement_tpu.cli import serve as cli_serve
+
+    # Base everything: nothing to warn about.
+    assert cli_serve.deployment_advisories("offline", "base") == []
+    assert cli_serve.deployment_advisories("offline", "") == []
+    # Adapted AM served: must cite the measured easy-SNR hybrid regression.
+    adv = cli_serve.deployment_advisories("offline", "adapted")
+    assert len(adv) == 1 and "+2.1" in adv[0] and "hybrid" in adv[0]
+    # Streaming-finetuned G served: must cite the rescore interaction.
+    adv = cli_serve.deployment_advisories("streaming", "base")
+    assert len(adv) == 1 and "rescore" in adv[0]
+    # Both: both advisories, AM first.
+    adv = cli_serve.deployment_advisories("streaming", "adapted")
+    assert len(adv) == 2
