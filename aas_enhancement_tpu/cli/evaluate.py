@@ -26,7 +26,11 @@ def main(argv=None) -> None:
                    help="if given, also report WER on enhanced input + delta")
     p.add_argument("--config", help="config JSON")
     p.add_argument("--batch-size", type=int, default=4)
-    p.add_argument("--decoder", choices=["greedy", "beam"], default="greedy")
+    p.add_argument("--decoder", choices=["greedy", "beam", "device"],
+                   default="greedy",
+                   help="'beam' = host C++/python prefix beam (any LM mode); "
+                        "'device' = batched on-accelerator beam (no-LM or "
+                        "char-LM fusion; decode/device_beam.py)")
     p.add_argument("--beam-width", type=int, default=32)
     p.add_argument("--lm", help="LM json for beam fusion (char or word n-gram, "
                                 "decode/lm.py — train with cli.train_lm)")
@@ -78,6 +82,11 @@ def main(argv=None) -> None:
         if lm is None:
             raise SystemExit("--word-lm fuses in addition to a char --lm; "
                              "for word-LM-only fusion pass it as --lm")
+    if args.decoder == "device" and (
+            word_lm is not None
+            or (lm is not None and getattr(lm, "is_word_lm", False))):
+        raise SystemExit("--decoder device supports char-LM fusion only; "
+                         "word/hybrid fusion needs --decoder beam")
 
     g_params = None
     if args.enhancer_checkpoint:

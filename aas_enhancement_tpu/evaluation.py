@@ -66,6 +66,9 @@ def evaluate_wer(cfg: Config, am_params, manifest, g_params=None,
     `per_utt` adds a per-utterance word-error-count list (stable bucketed
     iteration order — two calls with the same manifest/batch settings align
     row-for-row) for paired decoder comparisons on identical utterances."""
+    if decoder == "device" and word_lm is not None:
+        raise ValueError("decoder='device' supports char-LM fusion only; "
+                         "use decoder='beam' for word/hybrid")
     ds = manifest if isinstance(manifest, AudioDataset) else eval_dataset(cfg, manifest)
     if forward is None:
         forward = make_eval_forward(cfg, use_enhancer=g_params is not None)
@@ -84,6 +87,26 @@ def evaluate_wer(cfg: Config, am_params, manifest, g_params=None,
                                     lm=lm, lm_alpha=lm_alpha, lm_beta=lm_beta,
                                     word_lm=word_lm, word_alpha=word_alpha,
                                     word_beta=word_beta)[:k])
+        elif decoder == "device":
+            # On-accelerator batched beam (decode/device_beam.py): no-LM or
+            # char-LM fusion; word/hybrid fusion stays host-side ("beam").
+            from aas_enhancement_tpu.decode.device_beam import (
+                device_beam_decode)
+            table = order = None
+            if lm is not None:
+                if hasattr(lm, "dense_table"):
+                    table, order = lm.dense_table(), lm.order
+                elif isinstance(lm, np.ndarray):
+                    raise ValueError("decoder='device' needs a CharNGramLM "
+                                     "(table order unknown from a bare array)")
+                else:
+                    raise ValueError("decoder='device' supports char-LM "
+                                     "fusion only; use decoder='beam'")
+            log_probs = jax.nn.log_softmax(logits, axis=-1)
+            lens = np.sum(np.asarray(pads) < 0.5, axis=1).astype(np.int32)
+            hyps.extend(device_beam_decode(
+                log_probs, lens, beam_width=beam_width, lm_table=table,
+                lm_order=order or 0, lm_alpha=lm_alpha, lm_beta=lm_beta)[:k])
         else:
             hyps.extend(decode_batch(logits, pads)[:k])
         for row, pad_row in zip(batch.labels[:k], batch.label_paddings[:k]):
