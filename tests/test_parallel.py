@@ -17,13 +17,14 @@ from aas_enhancement_tpu.train.loop import init_state
 from aas_enhancement_tpu.train.steps import make_train_step
 
 
-def _cfg(objective, n_devices):
+def _cfg(objective, n_devices, train_overrides=None):
     return Config(
         am=AMConfig(rnn_hidden=16, rnn_layers=1, conv_channels=8),
         enhancer=EnhancerConfig(conv_channels=8, conv_layers=1,
                                 rnn_hidden=16, rnn_layers=1),
         discriminator=DiscriminatorConfig(channels=(8, 16)),
-        train=TrainConfig(objective=objective, batch_size=8),
+        train=TrainConfig(objective=objective, batch_size=8,
+                          **(train_overrides or {})),
         mesh=MeshConfig(num_devices=n_devices),
     )
 
@@ -40,8 +41,8 @@ def _batch(b=8, n=16000, seed=0):
     }
 
 
-def _run(objective, n_devices, steps=3):
-    cfg = _cfg(objective, n_devices)
+def _run(objective, n_devices, steps=3, train_overrides=None):
+    cfg = _cfg(objective, n_devices, train_overrides)
     mesh = make_mesh(cfg.mesh)
     assert len(mesh.devices.ravel()) == n_devices
     state = init_state(cfg, jax.random.key(0))
@@ -57,9 +58,31 @@ def _run(objective, n_devices, steps=3):
     return jax.device_get(state), auxes
 
 
-@pytest.mark.parametrize("objective", ["aas", "paired"])
+# Every objective the CLI can launch, plus the blockwise (streaming)
+# training variants (VERDICT r4 #4) — GSPMD sharding of the blockwise scans
+# must be pinned before any real pod run.  Blockwise variants use a small
+# window so the 1-second test utterances split into multiple blocks.
+# 0.24 s = 24 input frames at fps=100 — EVEN, as the AM blockwise forward
+# requires for exact frame stitching (conv1 time stride 2).
+_BLOCKWISE = dict(stream_chunk_s=0.24, stream_lookahead_s=0.1,
+                  stream_history_s=0.24)
+_MESH_VARIANTS = [
+    ("aas", None),
+    ("paired", None),
+    ("acoustic", None),
+    ("adversarial", None),
+    ("am", None),
+    ("aas-blockwise", dict(streaming_finetune=True, **_BLOCKWISE)),
+    ("am-livechain", dict(am_through_enhancer=True, streaming_finetune=True,
+                          streaming_finetune_am=True, **_BLOCKWISE)),
+]
+
+
+@pytest.mark.parametrize(
+    "variant", [v[0] for v in _MESH_VARIANTS],
+    ids=[v[0] for v in _MESH_VARIANTS])
 @pytest.mark.slow
-def test_8dev_matches_1dev(objective):
+def test_8dev_matches_1dev(variant):
     """Same batch, same init: 8-way data parallel tracks the single-device run.
 
     Step 1 losses must match to reduction-order noise (same params, only the
@@ -67,8 +90,10 @@ def test_8dev_matches_1dev(objective):
     which amplifies that noise, so the trajectory tolerance is looser.  A sharding
     bug (e.g. only one shard contributing) would blow past both immediately.
     """
-    _, a1 = _run(objective, 1)
-    _, a8 = _run(objective, 8)
+    overrides = dict(_MESH_VARIANTS)[variant]
+    objective = variant.split("-")[0]
+    _, a1 = _run(objective, 1, train_overrides=overrides)
+    _, a8 = _run(objective, 8, train_overrides=overrides)
     for k in a1[0]:
         np.testing.assert_allclose(a1[0][k], a8[0][k], rtol=1e-4, atol=1e-5,
                                    err_msg=f"step-1 metric {k} diverged")
