@@ -125,7 +125,7 @@ def main():
 
     result = {"n_utts": args.n_utts, "n_test_utts": args.n_test_utts,
               "am_steps": args.am_steps, "aas_steps": args.aas_steps,
-              "full_protocol": args.full,
+              "full_protocol": not args.ablation, "ablation": args.ablation,
               "snr_range": [args.snr_low, args.snr_high]}
     t0 = time.time()
     out_path = args.out or os.path.join(wd, "result.json")
