@@ -142,6 +142,18 @@ class TrainConfig:
     stream_chunk_s: float = 1.0       # must match the inference operating
     stream_lookahead_s: float = 0.2   # point (streaming.StreamingEnhancer)
     stream_history_s: float = 1.0
+    distill_lambda: float = 0.0  # "am" objective: weight of a posterior-anchor
+                                 # KL term tying the ADAPTED AM's frame
+                                 # posteriors to the base AM's (the params the
+                                 # run started from, offline forward, same
+                                 # features).  Live-deployment adaptation
+                                 # (streaming_finetune_am / am_through_enhancer)
+                                 # measurably trades the hybrid beam rescore's
+                                 # log-prob geometry for greedy gains
+                                 # (am_streaming_finetune_r4.json: 0-10 dB live
+                                 # hybrid 6.7 -> 8.8); this term lets CTC move
+                                 # the posteriors only where the transcript
+                                 # demands it (VERDICT r4 #1c)
 
 
 @dataclass(frozen=True)

@@ -307,8 +307,18 @@ def train(cfg: Config, noisy_manifest: str, clean_manifest: str | None = None,
         if resume and mgr.latest_step() is not None:
             state = ckpt.restore(mgr, mgr.latest_step(), state)
 
+    anchor_am = None
+    if (cfg.train.objective == "am" and cfg.train.distill_lambda > 0.0
+            and step_fn is None):
+        # Posterior-anchor distillation (TrainConfig.distill_lambda): the
+        # anchor is the AM exactly as this run STARTED — adaptation pulls
+        # away from it only where CTC demands (VERDICT r4 #1c).  Resume of a
+        # distill run re-anchors at the restored params; adaptation runs are
+        # short one-shot jobs, so this is the intended semantics.
+        anchor_am = jax.device_get(state.am_params)
+
     state = replicate_state(mesh, state)
-    step = step_fn or make_train_step(cfg)
+    step = step_fn or make_train_step(cfg, anchor_am_params=anchor_am)
     step = jax.jit(step, donate_argnums=(0,))
 
     logger = MetricsLogger(metrics_path, tensorboard_dir=tensorboard_dir)

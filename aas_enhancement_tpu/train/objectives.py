@@ -243,16 +243,38 @@ def discriminator_loss(cfg: Config, d_params, enh_log, enh_fl,
                   "d_score_fake": _wmean(s_fake, w_fake, fake_denom)}
 
 
+def distill_kl(base_logits: jnp.ndarray, logits: jnp.ndarray,
+               out_lengths: jnp.ndarray, weights=None,
+               denom=None) -> jnp.ndarray:
+    """Posterior-anchor distillation: masked mean-per-frame
+    KL(softmax(base) || softmax(adapted)), averaged over the batch with the
+    same real-row weighting as every other loss.  base_logits are stop-grad
+    (the anchor never trains)."""
+    base = jax.lax.stop_gradient(base_logits.astype(jnp.float32))
+    p = jax.nn.softmax(base, -1)
+    kl = jnp.sum(p * (jax.nn.log_softmax(base, -1)
+                      - jax.nn.log_softmax(logits.astype(jnp.float32), -1)),
+                 axis=-1)                                   # [B, T]
+    fm = time_mask(out_lengths, kl.shape[1], kl.dtype)
+    per_ex = jnp.sum(kl * fm, axis=1) / jnp.maximum(jnp.sum(fm, axis=1), 1.0)
+    return _wmean(per_ex, weights, denom)
+
+
 def am_pretrain_loss(cfg: Config, am_params, batch,
                      w_denom=None, rng=None,
-                     g_params=None) -> tuple[jnp.ndarray, dict]:
+                     g_params=None,
+                     anchor_am_params=None) -> tuple[jnp.ndarray, dict]:
     """AM pre-training on (typically clean) speech (SURVEY.md §3.1).
 
     `rng` non-None enables SpecAugment (cfg.train.spec_augment) — train-step
     only; the eval forward never passes one.  `g_params` non-None
     (TrainConfig.am_through_enhancer) feeds the AM the FROZEN enhancer's
     output features instead of the raw input — deployment-distribution
-    adaptation; the enhancer forward respects cfg.train.streaming_finetune."""
+    adaptation; the enhancer forward respects cfg.train.streaming_finetune.
+    `anchor_am_params` non-None + cfg.train.distill_lambda > 0 adds the
+    posterior-anchor KL term (distill_kl): the base AM runs its OFFLINE
+    forward on the same features and the adapted AM's frame posteriors are
+    pulled toward it (VERDICT r4 #1c)."""
     if g_params is not None:
         frozen_g = jax.lax.stop_gradient(g_params)
         _, log_mag, fl = enhancer_forward(cfg, frozen_g, batch["wav"],
@@ -283,4 +305,17 @@ def am_pretrain_loss(cfg: Config, am_params, batch,
     loss = ctc_loss_mean(logits, logit_paddings, batch["labels"],
                          batch["label_paddings"], weights=_row_weights(batch),
                          denom=w_denom)
-    return loss, {"loss_ctc_am": loss}
+    aux = {"loss_ctc_am": loss}
+    if anchor_am_params is not None and cfg.train.distill_lambda > 0.0:
+        anchor = jax.lax.stop_gradient(anchor_am_params)
+        base_logits, base_ol = AcousticModel(cfg.am).apply(anchor, am_in, fl)
+        # Offline anchor vs (possibly blockwise) adapted forward: the time
+        # reduction is identical, so out_lengths agree; mask with the min
+        # defensively.
+        l_kl = distill_kl(base_logits, logits,
+                          jnp.minimum(out_lengths, base_ol),
+                          weights=_row_weights(batch), denom=w_denom)
+        loss = loss + cfg.train.distill_lambda * l_kl
+        aux["loss_distill"] = l_kl
+        aux["loss_am_total"] = loss
+    return loss, aux

@@ -54,10 +54,14 @@ def _tree_scale(a, s: float):
     return jax.tree.map(lambda x: x * s, a)
 
 
-def make_train_step(cfg: Config) -> Callable:
+def make_train_step(cfg: Config, anchor_am_params=None) -> Callable:
     """-> step(state, batch_dict) -> (state, metrics).  batch_dict keys: wav,
     wav_lengths, labels, label_paddings, and per-objective: clean_wav (paired) or
-    unpaired clean_wav/clean_wav_lengths (adversarial/aas)."""
+    unpaired clean_wav/clean_wav_lengths (adversarial/aas).
+
+    `anchor_am_params`: frozen base-AM params for the "am" objective's
+    posterior-anchor distillation (TrainConfig.distill_lambda; VERDICT r4
+    #1c) — captured as a closure constant, never updated."""
     objective = cfg.train.objective
     g_opt = g_optimizer(cfg)
     d_opt = d_optimizer(cfg)
@@ -83,7 +87,8 @@ def make_train_step(cfg: Config) -> Callable:
             gp = state.g_params if cfg.train.am_through_enhancer else None
             (_, aux), g = jax.value_and_grad(
                 lambda p: obj.am_pretrain_loss(cfg, p, mb, w_denom=wd,
-                                               rng=rng, g_params=gp),
+                                               rng=rng, g_params=gp,
+                                               anchor_am_params=anchor_am_params),
                 has_aux=True)(state.am_params)
             return {"am": g}, aux
 

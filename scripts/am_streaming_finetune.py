@@ -51,6 +51,14 @@ def main():
                         "checkpoint (e.g. the matched-windowing ck_stream_ft "
                         "from streaming_finetune_eval); default: the workdir "
                         "pickle's offline-trained G")
+    p.add_argument("--distill", type=float, default=0.0,
+                   help="posterior-anchor distillation weight "
+                        "(TrainConfig.distill_lambda): a KL term tying the "
+                        "adapted AM's frame posteriors to the base AM's "
+                        "offline posteriors on the same features, so CTC "
+                        "moves them only where the transcript demands — "
+                        "protects the hybrid rescore geometry the plain "
+                        "adaptation measurably broke (VERDICT r4 #1c)")
     p.add_argument("--offline", action="store_true",
                    help="OFFLINE co-adaptation: both networks run their "
                         "full-sequence forwards (no block streaming anywhere) "
@@ -116,7 +124,8 @@ def main():
     result = {"steps": args.steps, "offline": args.offline,
               "chunk_s": args.chunk,
               "lookahead_s": args.lookahead, "history_s": args.history,
-              "g_checkpoint": args.g_checkpoint, "lr_scale": args.lr_scale}
+              "g_checkpoint": args.g_checkpoint, "lr_scale": args.lr_scale,
+              "distill_lambda": args.distill}
 
     fwd_enh = make_eval_forward(cfg, use_enhancer=True)
 
@@ -151,6 +160,7 @@ def main():
         streaming_finetune_am=not args.offline,
         stream_chunk_s=args.chunk, stream_lookahead_s=args.lookahead,
         stream_history_s=args.history, lr_am=cfg.train.lr_am * args.lr_scale,
+        distill_lambda=args.distill,
         batch_size=args.batch_size, epochs=100000, spec_augment=False))
     ft_cfg = ft_cfg.replace(data=dataclasses.replace(ft_cfg.data,
                                                      val_manifest=""))
