@@ -62,8 +62,18 @@ def main(argv=None) -> None:
                    help="serve epoch 0 strictly shortest-first")
     p.add_argument("--streaming-finetune", action="store_true",
                    help="train G through the block-bidirectional streaming "
-                        "forward (chunk/lookahead/history from the config) so "
-                        "chunked inference matches training")
+                        "forward (chunk/lookahead/history from the config or "
+                        "the --stream-* flags) so chunked inference matches "
+                        "training; with --g-checkpoint this is the measured-"
+                        "best blockwise-continuation recipe "
+                        "(streaming_native_cont_r5.json)")
+    p.add_argument("--stream-chunk", type=float, default=None,
+                   help="streaming operating point: chunk seconds "
+                        "(TrainConfig.stream_chunk_s)")
+    p.add_argument("--stream-lookahead", type=float, default=None,
+                   help="streaming operating point: lookahead seconds")
+    p.add_argument("--stream-history", type=float, default=None,
+                   help="streaming operating point: history seconds")
     p.add_argument("--streaming-finetune-am", action="store_true",
                    help="objective am: train through the block-streaming AM "
                         "forward (models/am.am_blockwise_apply) — live-"
@@ -75,7 +85,11 @@ def main(argv=None) -> None:
                         "enhancer weights with --g-checkpoint")
     p.add_argument("--g-checkpoint",
                    help="trained enhancer checkpoint dir — the frozen G for "
-                        "--am-through-enhancer")
+                        "--am-through-enhancer, or the warm-start init for "
+                        "generator objectives (paired/adversarial/acoustic/"
+                        "aas); for adversarial/aas the checkpoint's "
+                        "discriminator is carried too (blockwise continuation "
+                        "resumes the full GAN state)")
     p.add_argument("--checkpoint-dir", default="")
     p.add_argument("--continue-from", dest="resume", action="store_true",
                    help="resume from the latest checkpoint in --checkpoint-dir")
@@ -113,6 +127,12 @@ def main(argv=None) -> None:
         tr["streaming_finetune"] = True
     if args.streaming_finetune_am:
         tr["streaming_finetune_am"] = True
+    if args.stream_chunk is not None:
+        tr["stream_chunk_s"] = args.stream_chunk
+    if args.stream_lookahead is not None:
+        tr["stream_lookahead_s"] = args.stream_lookahead
+    if args.stream_history is not None:
+        tr["stream_history_s"] = args.stream_history
     if args.am_through_enhancer:
         if args.objective != "am":
             p.error("--am-through-enhancer only applies to --objective am")
@@ -143,6 +163,7 @@ def main(argv=None) -> None:
               "(fine for smoke tests, useless as supervision)", flush=True)
 
     g_params = None
+    d_params = None
     if args.g_checkpoint:
         from aas_enhancement_tpu.train.loop import load_state
         g_state, g_cfg = load_state(args.g_checkpoint)
@@ -151,6 +172,9 @@ def main(argv=None) -> None:
             p.error(f"{args.g_checkpoint}: checkpoint has no enhancer "
                     f"(objective was {g_cfg.train.objective!r})")
         cfg = cfg.replace(enhancer=g_cfg.enhancer)  # frozen G keeps its arch
+        if args.objective in ("adversarial", "aas") and g_state.d_params:
+            d_params = g_state.d_params
+            cfg = cfg.replace(discriminator=g_cfg.discriminator)
     elif args.am_through_enhancer:
         print("WARNING: --am-through-enhancer without --g-checkpoint; the "
               "frozen enhancer is RANDOM-INIT (fine for smoke tests, not a "
@@ -159,6 +183,8 @@ def main(argv=None) -> None:
     state = init_state(cfg, jax.random.key(cfg.train.seed), am_params=am_params)
     if g_params is not None:
         state = state.replace(g_params=g_params)
+    if d_params is not None:
+        state = state.replace(d_params=d_params)
 
     if args.checkpoint_dir:
         os.makedirs(args.checkpoint_dir, exist_ok=True)
