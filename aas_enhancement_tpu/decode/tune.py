@@ -54,6 +54,63 @@ def wer_at(refs, lps, lm, alpha: float, beta: float,
     return corpus_wer(refs, hyps)
 
 
+def edge_refine(eval_fn, a0: float, b0: float, w0: float, alphas, betas,
+                grid=None, a_key: str = "alpha", b_key: str = "beta",
+                max_evals: int = 12):
+    """Bounded outward hill-climb for grid-EDGE optima.
+
+    Round-5 finding: the fixed default grids clipped the live hybrid's true
+    optimum — widening alpha 1.5->2.8 and beta 1.0->2.5 took the live
+    hybrid WER from 5.46% to 2.10% at 0-10 dB and 12.6% to 5.46% harsh
+    (live_pipeline_r5_b32.json vs live_pipeline_r5.json).  Instead of
+    hardcoding ever-wider grids, this refines past any boundary the coarse
+    search lands on: while the best point sits on the current search
+    extremum of an axis, evaluate one more step outward (step = that
+    axis's outermost grid spacing); alternating axis extensions reach
+    diagonal escapes.  Stops at the first non-improving round or after
+    `max_evals` extra decodes.
+
+    -> (best_a, best_b, best_wer); appends evaluated cells to `grid`.
+    """
+    alphas = sorted(alphas)
+    betas = sorted(betas)
+    a_hi = alphas[-1]                        # original grid boundaries (fixed)
+    b_hi, b_lo = betas[-1], betas[0]
+    a_step = alphas[-1] - alphas[-2] if len(alphas) > 1 else 0.5
+    b_step = betas[-1] - betas[-2] if len(betas) > 1 else 0.5
+    best = (a0, b0, w0)
+    seen = set()
+    evals = 0
+    while evals < max_evals:
+        a, b, _ = best
+        # Outward steps from the current best along each axis — only in
+        # directions that leave the ORIGINAL grid (interior moves were
+        # already covered by the coarse search).
+        cands = [(ca, cb) for ca, cb in
+                 ((round(a + a_step, 6), b),
+                  (a, round(b + b_step, 6)),
+                  (a, round(b - b_step, 6)))
+                 if (ca > a_hi + 1e-9 or cb > b_hi + 1e-9
+                     or cb < b_lo - 1e-9) and (ca, cb) not in seen]
+        if not cands:
+            break
+        improved = False
+        for ca, cb in cands:
+            if evals >= max_evals:
+                break
+            w = eval_fn(ca, cb)
+            evals += 1
+            seen.add((ca, cb))
+            if grid is not None:
+                grid.append({a_key: ca, b_key: cb, "wer": w})
+            if w < best[2]:
+                best = (ca, cb, w)
+                improved = True
+        if not improved:
+            break
+    return best
+
+
 def grid_search_lm(cfg: Config, am_params, dev_manifest, lm,
                    alphas=(0.0, 0.3, 0.6, 1.0, 1.5),
                    betas=(-0.5, 0.0, 0.5, 1.0),
@@ -78,6 +135,10 @@ def grid_search_lm(cfg: Config, am_params, dev_manifest, lm,
             grid.append({"alpha": a, "beta": b, "wer": w})
             if w < best[2]:
                 best = (a, b, w)
+    if best[0] > 0.0:
+        best = edge_refine(
+            lambda a, b: wer_at(refs, lps, lm, a, b, beam_width),
+            *best, alphas, betas, grid=grid)
     return {"alpha": best[0], "beta": best[1], "wer": best[2],
             "wer_no_lm": wer_no_lm, "grid": grid,
             "utterances": len(refs)}
@@ -120,6 +181,10 @@ def grid_search_hybrid(cfg: Config, am_params, dev_manifest, char_lm, word_lm,
             grid.append({"alpha": a, "beta": b, "wer": w})
             if w < best_c[2]:
                 best_c = (a, b, w)
+    if best_c[0] > 0.0:
+        best_c = edge_refine(
+            lambda a, b: wer_at(refs, lps, char_lm, a, b, beam_width),
+            *best_c, alphas, betas, grid=grid)
     ca, cb, wer_char = best_c
     best = (0.0, 0.0, wer_char)
     for wa in word_alphas:
@@ -132,6 +197,12 @@ def grid_search_hybrid(cfg: Config, am_params, dev_manifest, char_lm, word_lm,
                          "word_beta": wb, "wer": w})
             if w < best[2]:
                 best = (wa, wb, w)
+    if best[0] > 0.0:
+        best = edge_refine(
+            lambda wa, wb: wer_at_hybrid(refs, lps, char_lm, ca, cb,
+                                         word_lm, wa, wb, beam_width),
+            *best, word_alphas, word_betas, grid=grid,
+            a_key="word_alpha", b_key="word_beta")
     return {"alpha": ca, "beta": cb, "word_alpha": best[0],
             "word_beta": best[1], "wer": best[2], "wer_char_only": wer_char,
             "wer_no_lm": wer_no_lm, "grid": grid, "utterances": len(refs)}

@@ -50,7 +50,19 @@ def main():
                         "scripts/am_streaming_finetune.py)")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--out", default="")
+    grids = p.add_argument_group(
+        "fusion tune grids (comma-separated floats; the r5 live runs found "
+        "the best point ON the default grid edges — widen these when that "
+        "happens)")
+    grids.add_argument("--alpha-grid", default="0.3,0.6,1.0,1.5")
+    grids.add_argument("--beta-grid", default="-0.5,0.0,0.5,1.0")
+    grids.add_argument("--word-alpha-grid", default="0.3,0.6,1.0")
+    grids.add_argument("--word-beta-grid", default="0.0,0.5,1.0")
     args = p.parse_args()
+    g_alpha = [float(x) for x in args.alpha_grid.split(",")]
+    g_beta = [float(x) for x in args.beta_grid.split(",")]
+    g_walpha = [float(x) for x in args.word_alpha_grid.split(",")]
+    g_wbeta = [float(x) for x in args.word_beta_grid.split(",")]
 
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
@@ -108,7 +120,8 @@ def main():
               "am_checkpoint": args.am_checkpoint,
               "chunk_s": args.chunk,
               "lookahead_s": args.lookahead, "history_s": args.history,
-              "latency_s": args.chunk + args.lookahead}
+              "latency_s": args.chunk + args.lookahead,
+              "beam_width": args.beam_width, "prune_k": args.prune_k}
 
     clm = CharNGramLM.from_manifests([state["train_noisy"]], order=args.order)
     wlm = WordNGramLM.from_manifests([state["train_noisy"]])
@@ -125,23 +138,40 @@ def main():
     # same shape as decode/tune.grid_search_hybrid but over live log-probs).
     dev_refs, dev_greedy, dev_lps = stream_split(state["dev_noisy"])
     result["dev_greedy"] = corpus_wer(dev_refs, dev_greedy)
+    from aas_enhancement_tpu.decode.tune import edge_refine
+
     best_c, wer_c = (0.0, 0.0), result["dev_greedy"]
-    for a_ in (0.3, 0.6, 1.0, 1.5):
-        for b_ in (-0.5, 0.0, 0.5, 1.0):
+    for a_ in g_alpha:
+        for b_ in g_beta:
             w = hybrid_wer(dev_lps, dev_refs,
                            {"alpha": a_, "beta": b_, "word_alpha": 0.0,
                             "word_beta": 0.0})
             if w < wer_c:
                 best_c, wer_c = (a_, b_), w
+    if best_c[0] > 0.0:
+        ca, cb, wer_c = edge_refine(
+            lambda a_, b_: hybrid_wer(dev_lps, dev_refs,
+                                      {"alpha": a_, "beta": b_,
+                                       "word_alpha": 0.0, "word_beta": 0.0}),
+            best_c[0], best_c[1], wer_c, g_alpha, g_beta)
+        best_c = (ca, cb)
     best = {"alpha": best_c[0], "beta": best_c[1],
             "word_alpha": 0.0, "word_beta": 0.0}
     wer_h = wer_c
-    for wa in (0.3, 0.6, 1.0):
-        for wb in (0.0, 0.5, 1.0):
+    for wa in g_walpha:
+        for wb in g_wbeta:
             pt = {**best, "word_alpha": wa, "word_beta": wb}
             w = hybrid_wer(dev_lps, dev_refs, pt)
             if w < wer_h:
                 best, wer_h = pt, w
+    if best["word_alpha"] > 0.0:
+        wa, wb, wer_h = edge_refine(
+            lambda wa_, wb_: hybrid_wer(dev_lps, dev_refs,
+                                        {**best, "word_alpha": wa_,
+                                         "word_beta": wb_}),
+            best["word_alpha"], best["word_beta"], wer_h,
+            g_walpha, g_wbeta, a_key="word_alpha", b_key="word_beta")
+        best = {**best, "word_alpha": wa, "word_beta": wb}
     result["tuned"] = {**best, "dev_wer": wer_h, "dev_wer_char_only": wer_c}
 
     # Held-out test split, live.

@@ -321,3 +321,62 @@ def test_hybrid_rejects_two_word_lms(wlm):
     with pytest.raises(ValueError):
         beam_decode(lp[None], lm=wlm, lm_alpha=0.5, word_lm=wlm,
                     word_alpha=0.5)
+
+
+# ------------------------------------------------------------ edge refine
+
+def test_edge_refine_escapes_clipped_grid():
+    """decode/tune.edge_refine: when the true optimum lies OUTSIDE the grid
+    on both axes (the round-5 live-hybrid situation — the best point sat on
+    the alpha AND beta maxima), alternating outward steps must walk to it."""
+    from aas_enhancement_tpu.decode.tune import edge_refine
+
+    opt = (2.8, 2.5)
+    calls = []
+
+    def wer(a, b):
+        calls.append((a, b))
+        return 0.01 * ((a - opt[0]) ** 2 + (b - opt[1]) ** 2)
+
+    alphas = (0.3, 0.6, 1.0, 1.5)
+    betas = (-0.5, 0.0, 0.5, 1.0)
+    # coarse best = the grid corner nearest the optimum
+    a0, b0 = 1.5, 1.0
+    w0 = wer(a0, b0)
+    grid = []
+    a, b, w = edge_refine(wer, a0, b0, w0, alphas, betas,
+                          grid=grid, max_evals=20)
+    assert (a, b) != (a0, b0), "refinement never left the clipped corner"
+    assert abs(a - opt[0]) <= 0.51 and abs(b - opt[1]) <= 0.51, (a, b)
+    assert w < w0
+    assert len(grid) == len(calls) - 1          # every refine eval recorded
+    assert len(grid) <= 20
+
+
+def test_edge_refine_interior_optimum_noop():
+    """A best point in the grid interior triggers no extra decodes."""
+    from aas_enhancement_tpu.decode.tune import edge_refine
+
+    calls = []
+
+    def wer(a, b):
+        calls.append((a, b))
+        return abs(a - 0.6) + abs(b - 0.0)
+
+    a, b, w = edge_refine(wer, 0.6, 0.0, 0.0, (0.3, 0.6, 1.0),
+                          (-0.5, 0.0, 0.5))
+    assert (a, b, w) == (0.6, 0.0, 0.0)
+    assert calls == []
+
+
+def test_edge_refine_negative_beta_edge():
+    """A best point on the beta MINIMUM extends downward."""
+    from aas_enhancement_tpu.decode.tune import edge_refine
+
+    def wer(a, b):
+        return abs(a - 0.6) + abs(b + 1.5)
+
+    a, b, w = edge_refine(wer, 0.6, -0.5, wer(0.6, -0.5),
+                          (0.3, 0.6, 1.0), (-0.5, 0.0, 0.5), max_evals=10)
+    assert b == pytest.approx(-1.5)
+    assert a == 0.6
