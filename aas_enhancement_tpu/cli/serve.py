@@ -135,20 +135,25 @@ def deployment_advisories(which: str, am_weights: str) -> list[str]:
     adv = []
     if am_weights == "adapted":
         adv.append(
-            "adapted AM served: a measured win under HARSH SNR on both live "
-            "legs (live_pipeline_r4_hard_amft.json greedy 65.1%->59.2%, "
-            "hybrid 16.8%->15.5%) but at easy SNR (0-10 dB) it costs a "
-            "downstream hybrid beam+LM rescore +2.1 points "
-            "(live_pipeline_r4_amft.json 6.7%->8.8%) — for easy-SNR "
-            "deployments whose consumers rescore, serve the base AM")
+            "adapted AM served: helps LM-less greedy transcripts (round-5 "
+            "distill-anchored adaptation: live greedy 37.0%->35.7% easy, "
+            "58.4%->56.7% harsh) but costs a downstream hybrid beam+LM "
+            "rescore on BOTH conditions when the enhancer is a full-budget "
+            "blockwise continuation (live_pipeline_r5{,_hard}_amft.json: "
+            "easy 5.46%->5.88%, harsh 12.6%->14.3%) — if consumers "
+            "rescore, serve the base AM; AM adaptation is a greedy-"
+            "deployment tool")
     if which == "streaming":
         adv.append(
-            "streaming-finetuned enhancer served: helps LM-less greedy "
-            "transcripts under harsh SNR (streaming_finetune_r4_hard.json "
-            "-6.7 points) but decodes WORSE than base weights under a full "
-            "hybrid beam+LM rescore (hybrid_fusion_r3.json "
-            "streaming_finetune_interaction) — if consumers rescore the "
-            "output, serve --weights offline")
+            "streaming weights served: a SHORT post-hoc fine-tune decodes "
+            "worse than base under a hybrid beam+LM rescore "
+            "(hybrid_fusion_r3.json streaming_finetune_interaction), but a "
+            "full-budget blockwise CONTINUATION beats base on every live "
+            "leg — greedy AND hybrid, both conditions (live_pipeline_r5"
+            "{,_hard}_b32.json: hybrid 6.7%->2.1% easy, 18.5%->5.5% harsh) "
+            "— prefer the continuation recipe (train --streaming-finetune "
+            "--g-checkpoint <offline-ck> at full LR/budget) over 300-step "
+            "patches")
     return adv
 
 

@@ -203,12 +203,15 @@ def test_deployment_advisories():
     # Base everything: nothing to warn about.
     assert cli_serve.deployment_advisories("offline", "base") == []
     assert cli_serve.deployment_advisories("offline", "") == []
-    # Adapted AM served: must cite the measured easy-SNR hybrid regression.
+    # Adapted AM served: must cite the measured hybrid-rescore regression
+    # (round 5: both conditions regress under the continuation G).
     adv = cli_serve.deployment_advisories("offline", "adapted")
-    assert len(adv) == 1 and "+2.1" in adv[0] and "hybrid" in adv[0]
-    # Streaming-finetuned G served: must cite the rescore interaction.
+    assert len(adv) == 1 and "rescore" in adv[0] and "5.88%" in adv[0]
+    # Streaming G served: must distinguish the short-finetune rescore
+    # interaction from the measured-best blockwise continuation.
     adv = cli_serve.deployment_advisories("streaming", "base")
     assert len(adv) == 1 and "rescore" in adv[0]
+    assert "continuation" in adv[0] and "2.1%" in adv[0]
     # Both: both advisories, AM first.
     adv = cli_serve.deployment_advisories("streaming", "adapted")
     assert len(adv) == 2
