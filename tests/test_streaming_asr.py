@@ -184,11 +184,15 @@ def test_am_blockwise_shapes_and_masking(setup):
     np.testing.assert_array_equal(np.asarray(out)[1, 10:], 0.0)
 
 
+@pytest.mark.slow
 def test_am_blockwise_matches_streaming_recognizer_frames(setup):
     """The training-time blockwise AM forward approximates the LIVE
     StreamingRecognizer emission: same frame count, high logit agreement in
     the interior (differences: running vs full-utterance normalization and
-    the flush block's geometry)."""
+    the flush block's geometry).
+
+    slow: compiles both the blockwise AM scan and the live recognizer
+    program (~40 s — round-5 fast-tier rebalance, VERDICT r4 #7)."""
     cfg, am_params, _ = setup
     wav = synth_utterance("BLOCKWISE TRAINING MATCHES LIVE", seed=7)
     rec = StreamingRecognizer(cfg, am_params, chunk_seconds=1.0,

@@ -108,8 +108,14 @@ def test_prefetch_matches_synchronous(corpus):
     assert recs_by_depth[0] == recs_by_depth[1]
 
 
+@pytest.mark.slow
 def test_prefetch_early_exit_no_thread_leak(corpus):
-    """max_steps exits mid-epoch; the producer thread must wind down."""
+    """max_steps exits mid-epoch; the producer thread must wind down.
+
+    slow: the jitted paired step + the 5 s thread-drain poll put this at
+    ~60 s — the heaviest single test in the fast tier before it was moved
+    (round-5 tier rebalance, VERDICT r4 #7: keep the fast tier <10 min).
+    """
     import threading
     import time as _time
 
