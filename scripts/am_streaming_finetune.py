@@ -70,6 +70,13 @@ def main():
     p.add_argument("--save-checkpoint", default="",
                    help="write the adapted AM as a train-CLI checkpoint dir; "
                         "default <workdir>/ck_am_stream_ft, '-' to skip")
+    p.add_argument("--am-init", default="",
+                   help="train-CLI checkpoint whose am_params seed the "
+                        "fine-tune instead of the workdir's base AM — lets "
+                        "the alternating co-adaptation loop CONTINUE the "
+                        "previous block's AM rather than restart from base "
+                        "(block >=2 of scripts/coadapt_loop; the before/"
+                        "after WERs then measure this block alone)")
     p.add_argument("--out", default="")
     args = p.parse_args()
 
@@ -92,10 +99,14 @@ def main():
     cfg = Config.from_json(saved["cfg_json"])
     am_params = saved["am_params"]
     g_params = saved["g_params"]
-    if args.g_checkpoint:
+    if args.g_checkpoint or args.am_init:
         from aas_enhancement_tpu.train.loop import load_state
+    if args.g_checkpoint:
         g_state, _ = load_state(args.g_checkpoint)
         g_params = jax.device_get(g_state.g_params)
+    if args.am_init:
+        am_state0, _ = load_state(args.am_init)
+        am_params = jax.device_get(am_state0.am_params)
 
     fwd_plain = make_eval_forward(cfg, use_enhancer=False)
 
@@ -125,7 +136,7 @@ def main():
               "chunk_s": args.chunk,
               "lookahead_s": args.lookahead, "history_s": args.history,
               "g_checkpoint": args.g_checkpoint, "lr_scale": args.lr_scale,
-              "distill_lambda": args.distill}
+              "distill_lambda": args.distill, "am_init": args.am_init}
 
     fwd_enh = make_eval_forward(cfg, use_enhancer=True)
 

@@ -45,6 +45,11 @@ def main():
     p.add_argument("--save-checkpoint", default="",
                    help="write G' as a train-CLI checkpoint dir; default "
                         "<workdir>/ck_g_coadapt, '-' to skip")
+    p.add_argument("--g-init", default="",
+                   help="train-CLI checkpoint whose g_params seed the G "
+                        "coordinate step instead of the workdir's offline G "
+                        "— block >=2 of the alternating co-adaptation loop "
+                        "continues the previous block's G")
     p.add_argument("--out", default="")
     args = p.parse_args()
 
@@ -63,6 +68,9 @@ def main():
         saved = pickle.load(f)
     cfg = Config.from_json(saved["cfg_json"])
     am_base, g0 = saved["am_params"], saved["g_params"]
+    if args.g_init:
+        g_state0, _ = load_state(args.g_init)
+        g0 = jax.device_get(g_state0.g_params)
 
     am_ck = args.am_checkpoint or os.path.join(wd, "ck_am_offline_ft")
     am_state, _ = load_state(am_ck)
@@ -76,7 +84,7 @@ def main():
 
     t0 = time.time()
     result = {"steps": args.steps, "am_checkpoint": am_ck,
-              "lr_scale": args.lr_scale}
+              "lr_scale": args.lr_scale, "g_init": args.g_init}
     result["wer_test_before"] = wer(meta["test_noisy"], am_ft, g0)
     result["wer_dev_before"] = wer(meta["dev_noisy"], am_ft, g0)
 

@@ -94,6 +94,7 @@ def main():
 
     result = {
         "workdir": args.workdir, "char_order": args.order,
+        "beam_width": args.beam_width, "prune_k": args.prune_k,
         "am_checkpoint": args.am_checkpoint,
         "g_checkpoint": args.g_checkpoint,
         "tuning": {k: tuned[k] for k in ("alpha", "beta", "word_alpha",
