@@ -121,7 +121,9 @@ def main():
               "chunk_s": args.chunk,
               "lookahead_s": args.lookahead, "history_s": args.history,
               "latency_s": args.chunk + args.lookahead,
-              "beam_width": args.beam_width, "prune_k": args.prune_k}
+              "beam_width": args.beam_width, "prune_k": args.prune_k,
+              "grids": {"alpha": g_alpha, "beta": g_beta,
+                        "word_alpha": g_walpha, "word_beta": g_wbeta}}
 
     clm = CharNGramLM.from_manifests([state["train_noisy"]], order=args.order)
     wlm = WordNGramLM.from_manifests([state["train_noisy"]])
